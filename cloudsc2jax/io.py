@@ -1,0 +1,340 @@
+"""Input/reference file I/O and synthetic-state generation.
+
+Re-designs the reference I/O stack (``src/common/module/file_io_mod.F90``,
+``hdf5_file_mod.F90``, ``expand_mod.F90``) for the TPU framework:
+
+* HDF5 is read/written with h5py; files keep the reference schema exactly
+  (datasets stored ``(nlev[, +1], nlon)`` C-order float64, scalars as
+  1-element datasets — see cloudsc2_array_state_mod.F90:161-199 and
+  Appendix A of SURVEY.md), so files are interchangeable with the Fortran
+  reference.
+* The reference's NPROMA-block "expand" machinery (expand_mod.F90:173-335)
+  collapses to a cyclic ``np.tile`` over the flat column axis — our layout
+  is simply ``(ncol, nlev)``.
+* The upstream ``input.h5`` artifact is **not shipped** with the reference
+  snapshot (only ``reference.h5`` is, cf. src/cloudsc2_nl/CMakeLists.txt:28
+  which symlinks it from config-files/).  :func:`synthetic_state` therefore
+  generates a physically-plausible 100-column atmospheric state with the
+  exact input schema, and :func:`write_input_h5` materialises it as an
+  ``input.h5`` the *reference* binaries could also consume.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .constants import NCLDQI, NCLDQL, NCLV, Params
+
+__all__ = [
+    "synthetic_state",
+    "expand_columns",
+    "write_input_h5",
+    "load_input_h5",
+    "load_reference_h5",
+    "write_reference_h5",
+    "INPUT_FIELDS",
+    "REFERENCE_FIELDS",
+]
+
+# field name -> per-column trailing shape, as functions of (nlev,)
+INPUT_FIELDS = {
+    "PT": lambda nlev: (nlev,),
+    "PQ": lambda nlev: (nlev,),
+    "PAP": lambda nlev: (nlev,),
+    "PAPH": lambda nlev: (nlev + 1,),
+    "PLU": lambda nlev: (nlev,),
+    "PLUDE": lambda nlev: (nlev,),
+    "PMFU": lambda nlev: (nlev,),
+    "PMFD": lambda nlev: (nlev,),
+    "PA": lambda nlev: (nlev,),
+    "PCLV": lambda nlev: (NCLV, nlev),
+    "PSUPSAT": lambda nlev: (nlev,),
+    "TENDENCY_CML_T": lambda nlev: (nlev,),
+    "TENDENCY_CML_A": lambda nlev: (nlev,),
+    "TENDENCY_CML_Q": lambda nlev: (nlev,),
+    "TENDENCY_CML_CLD": lambda nlev: (NCLV, nlev),
+}
+
+REFERENCE_FIELDS = {
+    "PLUDE": lambda nlev: (nlev,),
+    "PCOVPTOT": lambda nlev: (nlev,),
+    "PFPLSL": lambda nlev: (nlev + 1,),
+    "PFPLSN": lambda nlev: (nlev + 1,),
+    "PFHPSL": lambda nlev: (nlev + 1,),
+    "PFHPSN": lambda nlev: (nlev + 1,),
+    "TENDENCY_LOC_A": lambda nlev: (nlev,),
+    "TENDENCY_LOC_T": lambda nlev: (nlev,),
+    "TENDENCY_LOC_Q": lambda nlev: (nlev,),
+    "TENDENCY_LOC_CLD": lambda nlev: (NCLV, nlev),
+}
+
+
+def _standard_atmosphere_t(z):
+    """Piecewise-linear ICAO-like temperature profile T(z[m])."""
+    # (z_base, T_base, lapse K/m)
+    layers = [
+        (0.0, 288.15, -6.5e-3),
+        (11000.0, 216.65, 0.0),
+        (20000.0, 216.65, 1.0e-3),
+        (32000.0, 228.65, 2.8e-3),
+        (47000.0, 270.65, 0.0),
+        (51000.0, 270.65, -2.8e-3),
+        (71000.0, 214.65, -2.0e-3),
+    ]
+    t = np.empty_like(z)
+    for zb, tb, lr in layers:
+        sel = z >= zb
+        t[sel] = tb + lr * (z[sel] - zb)
+    t[z < 0] = 288.15
+    return t
+
+
+def synthetic_state(
+    nlon: int = 100,
+    nlev: int = 137,
+    seed: int = 2026,
+    ptsphy: float = 3600.0,
+) -> Tuple[Dict[str, np.ndarray], Params]:
+    """Generate a physically-plausible input state.
+
+    Returns ``(fields, params)`` where ``fields`` maps the reference input
+    dataset names to float64 arrays in file order (trailing column axis,
+    per INPUT_FIELDS), and ``params`` carries all constant groups with the
+    CETA coordinate derived exactly as the reference entry program does
+    (dwarf_cloudsc.F90:100-102: CETA(jk)=PAP(1,jk,1)/PAPH(1,KLEV+1,1)).
+    """
+    rng = np.random.default_rng(seed)
+
+    # --- vertical grid: half levels quadratically refined towards the
+    # surface (an IFS-like density), top at ~80 km.
+    s = np.linspace(0.0, 1.0, nlev + 1)
+    z_half = 80000.0 * (1.0 - s) ** 1.7  # (nlev+1,), z_half[-1]=0 (surface)
+
+    ps = 101325.0 * (1.0 + 0.02 * rng.standard_normal(nlon)).clip(0.94, 1.04)
+
+    # hydrostatic half-level pressure from the standard atmosphere
+    t_prof = _standard_atmosphere_t(z_half)
+    rd, g = 287.0597, 9.80665
+    # integrate ln p upward from the surface
+    lnp = np.zeros(nlev + 1)
+    for k in range(nlev - 1, -1, -1):
+        dz = z_half[k] - z_half[k + 1]
+        tbar = 0.5 * (t_prof[k] + t_prof[k + 1])
+        lnp[k] = lnp[k + 1] - g * dz / (rd * tbar)
+    sigma_half = np.exp(lnp)  # 1 at surface, ~3e-6 at top
+    paph = ps[None, :] * sigma_half[:, None]  # (nlev+1, nlon)
+    pap = 0.5 * (paph[:-1] + paph[1:])  # (nlev, nlon)
+
+    z_full = 0.5 * (z_half[:-1] + z_half[1:])
+    t_base = _standard_atmosphere_t(z_full)  # (nlev,)
+
+    # column-to-column variability: warm/cold columns, boundary-layer noise
+    dt_col = 8.0 * rng.standard_normal(nlon)
+    pt = t_base[:, None] + dt_col[None, :] * np.exp(-((z_full[:, None]) / 12000.0))
+    pt += 0.8 * rng.standard_normal((nlev, nlon))
+    pt = pt.clip(180.0, 320.0)
+
+    # humidity: fraction of saturation with a moist lower troposphere
+    params0 = Params.ifs_defaults(ceta=pap[:, 0] / paph[nlev, 0], ptsphy=ptsphy)
+    thf, cst = params0.yoethf, params0.yomcst
+    alfa = np.minimum(
+        1.0,
+        ((np.maximum(thf.rtice, np.minimum(thf.rtwat, pt)) - thf.rtice)
+         * thf.rtwat_rtice_r) ** 2,
+    )
+    ew = thf.r2es * (
+        alfa * np.exp(thf.r3les * (pt - cst.rtt) / (pt - thf.r4les))
+        + (1.0 - alfa) * np.exp(thf.r3ies * (pt - cst.rtt) / (pt - thf.r4ies))
+    )
+    qs = np.minimum(0.5, ew / pap)
+    qs = qs / (1.0 - cst.retv * qs)
+    rh = (
+        0.55
+        + 0.35 * np.exp(-z_full[:, None] / 3000.0)
+        + 0.12 * np.sin(z_full[:, None] / 2500.0)
+        + 0.18 * rng.standard_normal((1, nlon))
+        + 0.06 * rng.standard_normal((nlev, nlon))
+    ).clip(0.05, 1.05)
+    # dry stratosphere: relax towards ~3 ppmv above ~200 hPa
+    pfrac_full = pap / ps[None, :]
+    strat = (pfrac_full < 0.2).astype(float)
+    pq = (rh * qs).clip(1e-9, 0.03)
+    pq = np.where(strat > 0, np.minimum(pq, 3.0e-6), pq)
+
+    # cloud condensate: liquid in the 600-950 hPa band, ice at 200-600 hPa,
+    # present in cloudy columns only
+    cloudy = (rng.random(nlon) < 0.65).astype(float)
+    pfrac = pap / ps[None, :]
+    liq_band = np.exp(-(((pfrac - 0.8) / 0.12) ** 2))
+    ice_band = np.exp(-(((pfrac - 0.4) / 0.15) ** 2))
+    amp = rng.random(nlon) * cloudy
+    ql = 2.5e-4 * liq_band * amp[None, :] * rng.random((nlev, nlon))
+    qi = 1.2e-4 * ice_band * amp[None, :] * rng.random((nlev, nlon))
+
+    pclv = np.zeros((NCLV, nlev, nlon))
+    pclv[NCLDQL] = ql
+    pclv[NCLDQI] = qi
+
+    # cloud fraction consistent-ish with condensate
+    pa = ((ql + qi) > 1e-7).astype(float) * (0.3 + 0.7 * rng.random((nlev, nlon)))
+
+    # convection: updraught condensate/mass flux in ~40% of columns,
+    # confined to the troposphere (taper to zero above ~300 hPa)
+    conv = (rng.random(nlon) < 0.4).astype(float)
+    conv_band = np.exp(-(((pfrac - 0.65) / 0.25) ** 2))
+    conv_band *= np.clip((pfrac - 0.3) / 0.1, 0.0, 1.0)
+    plu = 1.5e-4 * conv_band * conv[None, :] * rng.random((nlev, nlon))
+    plude = 2.0e-5 * conv_band * conv[None, :] * rng.random((nlev, nlon))
+    pmfu = 8.0e-3 * conv_band * conv[None, :] * rng.random((nlev, nlon))
+    pmfd = -2.0e-3 * conv_band * conv[None, :] * rng.random((nlev, nlon))
+
+    # accumulated tendencies from "other processes": small smooth fields,
+    # vanishing in the upper stratosphere/mesosphere
+    taper = np.clip(pfrac / 0.05, 0.0, 1.0)
+    ten_t = 2.0e-5 * rng.standard_normal((nlev, nlon)) * (1.0 + 2.0 * pfrac) * taper
+    ten_q = 1.0e-8 * rng.standard_normal((nlev, nlon)) * taper * (pfrac > 0.2)
+    ten_cld = np.zeros((NCLV, nlev, nlon))
+    ten_cld[NCLDQL] = 2.0e-9 * rng.standard_normal((nlev, nlon)) * (ql > 0)
+    ten_cld[NCLDQI] = 1.0e-9 * rng.standard_normal((nlev, nlon)) * (qi > 0)
+    ten_a = np.zeros((nlev, nlon))
+
+    # supersaturation memory: small, only in cold tropospheric levels
+    psupsat = np.where(
+        (pt < 250.0) & (pfrac > 0.2), 2.0e-6 * rng.random((nlev, nlon)), 0.0
+    )
+
+    fields = {
+        "PT": pt,
+        "PQ": pq,
+        "PAP": pap,
+        "PAPH": paph,
+        "PLU": plu,
+        "PLUDE": plude,
+        "PMFU": pmfu,
+        "PMFD": pmfd,
+        "PA": pa,
+        "PCLV": pclv,
+        "PSUPSAT": psupsat,
+        "TENDENCY_CML_T": ten_t,
+        "TENDENCY_CML_A": ten_a,
+        "TENDENCY_CML_Q": ten_q,
+        "TENDENCY_CML_CLD": ten_cld,
+    }
+    fields = {k: np.asarray(v, dtype=np.float64) for k, v in fields.items()}
+    return fields, params0
+
+
+def expand_columns(fields: Dict[str, np.ndarray], ngptot: int) -> Dict[str, np.ndarray]:
+    """Cyclically tile the stored columns up to ``ngptot`` grid points.
+
+    Equivalent of EXPAND_R2/R3 (expand_mod.F90:270-335) without the NPROMA
+    block gymnastics: the column axis is last in file order, so this is a
+    tile + truncate.
+    """
+    out = {}
+    for k, v in fields.items():
+        nlon = v.shape[-1]
+        reps = -(-ngptot // nlon)
+        out[k] = np.ascontiguousarray(np.tile(v, (1,) * (v.ndim - 1) + (reps,))[..., :ngptot])
+    return out
+
+
+def write_input_h5(path, fields: Dict[str, np.ndarray], params: Params) -> None:
+    """Write an ``input.h5`` with the exact reference schema
+    (cloudsc2_array_state_mod.F90:161-199, yo*_LOAD_PARAMETERS readers)."""
+    import h5py
+
+    nlev = fields["PT"].shape[0]
+    nlon = fields["PT"].shape[-1]
+    with h5py.File(path, "w") as f:
+        f.create_dataset("KLON", data=np.array([nlon], dtype=np.int32))
+        f.create_dataset("KLEV", data=np.array([nlev], dtype=np.int32))
+        f.create_dataset("PTSPHY", data=np.array([params.ptsphy]))
+        f.create_dataset("LDSLPHY", data=np.array([0], dtype=np.int32))
+        f.create_dataset("LDMAINCALL", data=np.array([0], dtype=np.int32))
+        for k, v in fields.items():
+            f.create_dataset(k, data=np.asarray(v, dtype=np.float64))
+        for grp in (params.yomcst, params.yoethf, params.yrecldp, params.yrephli):
+            for k, v in grp.h5_items().items():
+                if isinstance(v, int):
+                    f.create_dataset(k, data=np.array([v], dtype=np.int32))
+                else:
+                    f.create_dataset(k, data=np.array([float(v)]))
+
+
+def _columns_first(arr: np.ndarray) -> np.ndarray:
+    """File order (…, nlev, nlon) -> framework order (nlon, …, nlev)."""
+    return np.ascontiguousarray(np.moveaxis(arr, -1, 0))
+
+
+def load_input_h5(path, ngptot: Optional[int] = None):
+    """Load (and optionally expand) an input file.
+
+    Returns ``(fields, params)`` with fields in framework order
+    ``(ncol, [nclv,] nlev)`` float64.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        nlev = int(f["KLEV"][0])
+        ptsphy = float(f["PTSPHY"][0])
+        raw = {k: np.asarray(f[k], dtype=np.float64) for k in INPUT_FIELDS if k in f}
+        from .constants import Yoethf, Yomcst, Yophnc, Yomncl, Yrecldp, Yrephli
+
+        cst = Yomcst.from_h5(f)
+        params = Params(
+            yomcst=cst,
+            yoethf=Yoethf.from_h5(f),
+            yrecldp=Yrecldp.from_h5(f),
+            yrephli=Yrephli.from_h5(f),
+            yophnc=Yophnc.ifs_defaults(),
+            yomncl=Yomncl.ifs_defaults(),
+            ceta=tuple(
+                (raw["PAP"][:, 0] / raw["PAPH"][nlev, 0]).tolist()
+            ),
+            ptsphy=ptsphy,
+        )
+    if "TENDENCY_CML_A" not in raw:
+        raw["TENDENCY_CML_A"] = np.zeros_like(raw["PT"])
+    if ngptot is not None:
+        raw = expand_columns(raw, ngptot)
+    return {k: _columns_first(v) for k, v in raw.items()}, params
+
+
+def load_reference_h5(path, ngptot: Optional[int] = None):
+    """Load golden outputs; returns fields in framework order."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        raw = {k: np.asarray(f[k], dtype=np.float64) for k in REFERENCE_FIELDS if k in f}
+    if ngptot is not None:
+        raw = expand_columns(raw, ngptot)
+    return {k: _columns_first(v) for k, v in raw.items()}
+
+
+def write_reference_h5(path, outputs: Dict[str, np.ndarray], extra: bool = True) -> None:
+    """Write golden outputs with the reference schema (file order arrays,
+    cf. cloudsc2_array_state_mod.F90:260-287 WRITE_REFERENCE)."""
+    import h5py
+
+    nlev_nlon = outputs["PCOVPTOT"].shape
+    nlev, nlon = nlev_nlon[-2], nlev_nlon[-1]
+    with h5py.File(path, "w") as f:
+        f.create_dataset("KLON", data=np.array([nlon], dtype=np.int32))
+        f.create_dataset("KLEV", data=np.array([nlev], dtype=np.int32))
+        f.create_dataset("KFLDX", data=np.array([0], dtype=np.int32))
+        for k, v in outputs.items():
+            f.create_dataset(k, data=np.asarray(v, dtype=np.float64))
+        if extra:
+            # placeholder flux datasets present in the reference file
+            for k in (
+                "PFSQLF", "PFSQIF", "PFCQLNG", "PFCQNNG", "PFSQRF",
+                "PFSQSF", "PFCQRNG", "PFCQSNG", "PFSQLTUR", "PFSQITUR",
+            ):
+                if k not in f:
+                    f.create_dataset(k, data=np.zeros((nlev + 1, nlon)))
+            if "PRAINFRAC_TOPRFZ" not in f:
+                f.create_dataset("PRAINFRAC_TOPRFZ", data=np.zeros((nlon,)))

@@ -1,0 +1,150 @@
+"""Array state: load, run, validate, write-reference.
+
+Re-design of ``src/common/module/cloudsc2_array_state_mod.F90``: the
+NPROMA-blocked AOSOA buffers (:26-151) become a flat pytree of
+``(ncol, …, nlev)`` arrays; LOAD (:153-203) reads + column-expands the
+input file; VALIDATE (:205-258) compares the 10 output fields against a
+golden file with the reference's statistics; WRITE_REFERENCE (:260-287)
+writes a new golden file from the first ``klon_file`` columns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from . import io as cio
+from . import validate as cval
+from .constants import NCLDQI, NCLDQL, NCLV, Params
+from .physics.cloudsc2 import Cloudsc2Inputs, Cloudsc2Outputs
+from .physics.satur import satur
+
+__all__ = ["Cloudsc2State"]
+
+
+@dataclasses.dataclass
+class Cloudsc2State:
+    """All model fields in framework order ``(ncol, [nclv,] nlev)``."""
+
+    fields: Dict[str, np.ndarray]
+    params: Params
+    ngptot: int
+    klon_file: int  # columns stored in the source file (100 upstream)
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def load(
+        cls,
+        path,
+        ngptot: Optional[int] = None,
+        *,
+        col_slice: Optional[slice] = None,
+    ) -> "Cloudsc2State":
+        """LOAD + expand (cloudsc2_array_state_mod.F90:153-203).
+
+        ``col_slice`` implements the per-rank hyperslab read of
+        expand_mod.F90:30-46: a host materialises only its shard of the
+        expanded column range.
+        """
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            klon_file = int(f["KLON"][0])
+        fields, params = cio.load_input_h5(path, ngptot=ngptot)
+        ngptot = ngptot or klon_file
+        if col_slice is not None:
+            fields = {k: v[col_slice] for k, v in fields.items()}
+        return cls(fields=fields, params=params, ngptot=ngptot, klon_file=klon_file)
+
+    @classmethod
+    def synthetic(cls, ngptot: int = 100, nlev: int = 137, seed: int = 2026) -> "Cloudsc2State":
+        raw, params = cio.synthetic_state(nlon=min(ngptot, 100), nlev=nlev, seed=seed)
+        raw = cio.expand_columns(raw, ngptot)
+        fields = {k: np.moveaxis(v, -1, 0) for k, v in raw.items()}
+        return cls(fields=fields, params=params, ngptot=ngptot, klon_file=min(ngptot, 100))
+
+    # ------------------------------------------------------------- kernel IO
+    def qsat(self, dtype=None):
+        f = self._cast(dtype)
+        return satur(f["PAP"], f["PT"], self.params, lphylin=True, kflag=2)
+
+    def _cast(self, dtype):
+        if dtype is None:
+            return self.fields
+        return {k: np.asarray(v, dtype) for k, v in self.fields.items()}
+
+    def kernel_inputs(self, pqs=None, dtype=None) -> Cloudsc2Inputs:
+        """Assemble the 16 differentiated kernel inputs; PQS defaults to
+        SATUR of the state (cloudsc_driver_mod.F90:91-92)."""
+        f = self._cast(dtype)
+        if pqs is None:
+            pqs = satur(f["PAP"], f["PT"], self.params, lphylin=True, kflag=2)
+        return Cloudsc2Inputs(
+            paph=f["PAPH"],
+            pap=f["PAP"],
+            pq=f["PQ"],
+            pqs=pqs,
+            pt=f["PT"],
+            pl=f["PCLV"][:, NCLDQL],
+            pi=f["PCLV"][:, NCLDQI],
+            plude=f["PLUDE"],
+            plu=f["PLU"],
+            pmfu=f["PMFU"],
+            pmfd=f["PMFD"],
+            ten_t=f["TENDENCY_CML_T"],
+            ten_q=f["TENDENCY_CML_Q"],
+            ten_l=f["TENDENCY_CML_CLD"][:, NCLDQL],
+            ten_i=f["TENDENCY_CML_CLD"][:, NCLDQI],
+            psupsat=f["PSUPSAT"],
+        )
+
+    def output_dict(self, out: Cloudsc2Outputs) -> Dict[str, np.ndarray]:
+        """Map kernel outputs to the golden-file field names.
+
+        TENDENCY_LOC_A and the rain/snow/vapour species of
+        TENDENCY_LOC_CLD are never written by the NL kernel and validate
+        as zero (SURVEY Appendix A); PLUDE is IN-only for CLOUDSC2 and
+        passes through from the input state.
+        """
+        ncol, nlev = np.shape(out.pclc)
+        cld = np.zeros((ncol, NCLV, nlev))
+        cld[:, NCLDQL] = np.asarray(out.tenl_l, np.float64)
+        cld[:, NCLDQI] = np.asarray(out.tenl_i, np.float64)
+        return {
+            "PLUDE": np.asarray(self.fields["PLUDE"], np.float64),
+            "PCOVPTOT": np.asarray(out.pcovptot, np.float64),
+            "PFPLSL": np.asarray(out.pfplsl, np.float64),
+            "PFPLSN": np.asarray(out.pfplsn, np.float64),
+            "PFHPSL": np.asarray(out.pfhpsl, np.float64),
+            "PFHPSN": np.asarray(out.pfhpsn, np.float64),
+            "TENDENCY_LOC_A": np.zeros((ncol, nlev)),
+            "TENDENCY_LOC_T": np.asarray(out.tenl_t, np.float64),
+            "TENDENCY_LOC_Q": np.asarray(out.tenl_q, np.float64),
+            "TENDENCY_LOC_CLD": cld,
+        }
+
+    # -------------------------------------------------------------- validate
+    def validate(
+        self, out: Cloudsc2Outputs, reference_path, threshold: float = 10.0, quiet=False
+    ) -> bool:
+        """VALIDATE against a golden file (…array_state_mod.F90:205-258).
+
+        The reference stores ``klon_file`` columns; results are compared
+        over all ``ngptot`` columns against the cyclically-expanded golden
+        fields, which is exact because expansion replicates inputs.
+        """
+        ref = cio.load_reference_h5(reference_path, ngptot=self.ngptot)
+        res = self.output_dict(out)
+        errors = cval.validate(res, ref, ngptot=self.ngptot)
+        if quiet:
+            return all(e.passed(threshold) for e in errors.values())
+        return cval.print_validation(errors, threshold)
+
+    def write_reference(self, out: Cloudsc2Outputs, path) -> None:
+        """WRITE_REFERENCE (…array_state_mod.F90:260-287): stores the first
+        ``klon_file`` columns in file order."""
+        res = self.output_dict(out)
+        res = {k: np.moveaxis(v[: self.klon_file], 0, -1) for k, v in res.items()}
+        cio.write_reference_h5(path, res)
