@@ -1,0 +1,142 @@
+"""Command-line entry points.
+
+Re-design of the three reference dwarf programs
+(``src/cloudsc2_{nl,tl,ad}/dwarf_cloudsc.F90``), preserving their UX:
+
+    python -m cloudsc2jax nl <numomp> <ngptot> <nproma>
+    python -m cloudsc2jax tl <numomp> <ngptot> <nproma>
+    python -m cloudsc2jax ad <numomp> <ngptot> <nproma>
+
+``numomp`` (OpenMP threads upstream) maps to the number of devices used
+from the mesh; ``nproma`` is kept for the Taylor-test block statistics and
+reporting (the TPU kernels pick their own tiling).  Environment variables
+honoured as upstream: ``CLOUDSC2_WRITE_REFERENCE=1`` writes a golden file
+after an NL run (dwarf_cloudsc.F90:77,124-126), ``EC_PMON=1`` enables the
+energy probe (:42-46).  Extra flags select input/reference paths, dtype,
+and the pallas fused kernel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import sys
+
+import numpy as np
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(
+        prog="cloudsc2jax",
+        description="TPU-native CLOUDSC2 NL/TL/AD driver",
+    )
+    p.add_argument("variant", choices=["nl", "tl", "ad"])
+    p.add_argument("numomp", type=int, nargs="?", default=1,
+                   help="number of devices to use (reference: OpenMP threads)")
+    p.add_argument("ngptot", type=int, nargs="?", default=100)
+    p.add_argument("nproma", type=int, nargs="?", default=100,
+                   help="block size for Taylor-test statistics / reporting")
+    p.add_argument("--input", default=None, help="input.h5 path (default: bundled fixture)")
+    p.add_argument("--reference", default=None, help="reference.h5 for NL validation")
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--dtype", choices=["f64", "f32"], default="f64",
+                   help="working precision (JPRB double / -DSINGLE analogue)")
+    p.add_argument("--pallas", action="store_true", help="use the fused Pallas kernel")
+    p.add_argument("--repeat", type=int, default=1, help="benchmark repetitions")
+    return p
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+
+    import jax
+
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+
+    from . import dist
+    from .drivers import adjoint_test, run_nl, taylor_test
+    from .state import Cloudsc2State
+    from .timer import ZHPM, PerformanceTimer
+
+    here = pathlib.Path(__file__).resolve().parents[1]
+    input_path = args.input or here / "tests" / "fixtures" / "input.h5"
+    reference_path = args.reference or here / "tests" / "fixtures" / "reference.h5"
+
+    devices = jax.devices()[: max(1, args.numomp)]
+    mesh = dist.column_mesh(devices)
+    ngptot = dist.pad_columns(args.ngptot, mesh)
+    ngpblks = -(-ngptot // args.nproma)
+
+    state = (
+        Cloudsc2State.load(input_path, ngptot=ngptot)
+        if pathlib.Path(input_path).exists()
+        else Cloudsc2State.synthetic(ngptot=ngptot)
+    )
+    dtype = np.float64 if args.dtype == "f64" else np.float32
+    inputs = state.kernel_inputs(dtype=dtype)
+    inputs = dist.shard_inputs(inputs, mesh)
+
+    print(
+        f"     NUMPROC={jax.process_count()}, NUMDEV={len(devices)},"
+        f" NGPTOTG={ngptot}, NPROMA={args.nproma}, NGPBLKS={ngpblks}",
+        file=sys.stderr,
+    )
+
+    timer = PerformanceTimer()
+    timer.start(len(devices))
+
+    if args.variant == "nl":
+        if args.pallas:
+            from .pallas.cloudsc2_kernel import cloudsc2_pallas as _k
+            from functools import partial
+
+            fn = jax.jit(partial(_k, params=state.params))
+        else:
+            from functools import partial
+            from .physics.cloudsc2 import cloudsc2 as _k
+
+            fn = jax.jit(partial(_k, params=state.params))
+        timer.thread_start(0)
+        out = fn(inputs)
+        jax.block_until_ready(out)
+        for _ in range(args.repeat - 1):
+            out = fn(inputs)
+            jax.block_until_ready(out)
+        timer.thread_log(0, ngptot * args.repeat)
+        timer.thread_end(0)
+        timer.end()
+        timer.print_performance(args.nproma, ngpblks, ngptot)
+        ok = True
+        if not args.no_validate and pathlib.Path(reference_path).exists():
+            out_host = jax.tree.map(np.asarray, out)
+            ok = state.validate(out_host, reference_path)
+        if os.environ.get("CLOUDSC2_WRITE_REFERENCE") == "1":
+            state.write_reference(jax.tree.map(np.asarray, out), "reference.h5")
+            print("Written reference results to reference.h5", file=sys.stderr)
+        return 0 if ok else 1
+
+    if args.variant == "tl":
+        timer.thread_start(0)
+        res = taylor_test(inputs, state.params, nproma=args.nproma, lregcl=False)
+        timer.thread_log(0, ngptot)
+        timer.thread_end(0)
+        timer.end()
+        timer.print_performance(args.nproma, ngpblks, ngptot)
+        res.report()
+        return 0 if res.passed else 1
+
+    if args.variant == "ad":
+        timer.thread_start(0)
+        res = adjoint_test(inputs, state.params, lregcl=True)
+        timer.thread_log(0, ngptot)
+        timer.thread_end(0)
+        timer.end()
+        timer.print_performance(args.nproma, ngpblks, ngptot)
+        res.report()
+        return 0 if res.passed else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,222 @@
+"""Run harnesses: NL benchmark/validation, TL Taylor test, AD symmetry test.
+
+Re-design of the reference driver layer
+(``src/cloudsc2_nl/cloudsc_driver_mod.F90``,
+``src/cloudsc2_tl/cloudsc_driver_tl_mod.F90``,
+``src/cloudsc2_ad/cloudsc_driver_ad_mod.F90``).  The OpenMP NPROMA-block
+loop becomes a single jitted call over all columns (XLA vectorises and,
+under a mesh, shards the column axis); NPROMA survives only as the
+*norm-aggregation block size* of the Taylor test so that its statistics
+reproduce the reference's per-block reductions exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import Params
+from .physics.cloudsc2 import Cloudsc2Inputs, Cloudsc2Outputs, cloudsc2
+from .state import Cloudsc2State
+from .tlad import cloudsc2_tl, cloudsc2_vjp
+
+__all__ = [
+    "run_nl",
+    "TaylorResult",
+    "taylor_test",
+    "AdjointResult",
+    "adjoint_test",
+]
+
+
+# --------------------------------------------------------------------- NL
+def run_nl(
+    inputs: Cloudsc2Inputs,
+    params: Params,
+    *,
+    ldrain1d: bool = False,
+) -> Cloudsc2Outputs:
+    """Forward (nonlinear) run, jitted (cloudsc_driver_mod.F90:73-119)."""
+    fn = jax.jit(partial(cloudsc2, params=params, ldrain1d=ldrain1d))
+    return fn(inputs)
+
+
+# ------------------------------------------------------------------ Taylor
+@dataclasses.dataclass
+class TaylorResult:
+    norms: np.ndarray  # ZNORMG(10): max over blocks of the mean error ratio
+    istart: int  # first lambda index (1-based) with |1-norm|<0.5
+    penalty: int  # ITEST penalty
+    passed: bool
+
+    def report(self, file=None):
+        file = file or sys.stderr
+        print(" TL Taylor test ", file=file)
+        print("                Lambda   Result", file=file)
+        for i, v in enumerate(self.norms):
+            print(f" {i+1:4d}  {v:22.14f}", file=file)
+        print("   ==============================================   ", file=file)
+        if self.passed:
+            print(f"       TEST PASSED, penalty {self.penalty}", file=file)
+        else:
+            print(f"       TEST FAILED, err {self.penalty}", file=file)
+        print("   ==============================================   ", file=file)
+
+
+def _perturbations(inputs: Cloudsc2Inputs, zero_supsat: bool) -> Cloudsc2Inputs:
+    """The drivers' canonical increments: 0.01·x for all 16 inputs
+    (cloudsc_driver_tl_mod.F90:156-171); the AD driver zeroes the obsolete
+    supersaturation perturbation (cloudsc_driver_ad_mod.F90:139)."""
+    d = Cloudsc2Inputs(*(0.01 * jnp.asarray(x) for x in inputs))
+    if zero_supsat:
+        d = d._replace(psupsat=jnp.zeros_like(d.psupsat))
+    return d
+
+
+def _block_sums(field_minus_ref, nproma: int):
+    """Sum (ncol, nlev…) arrays over level axis and nproma-sized column
+    blocks -> (nblocks,)."""
+    ncol = field_minus_ref.shape[0]
+    flat = field_minus_ref.reshape(ncol, -1).sum(axis=1)
+    nblocks = -(-ncol // nproma)
+    pad = nblocks * nproma - ncol
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(nblocks, nproma).sum(axis=1)
+
+
+def taylor_test(
+    inputs: Cloudsc2Inputs,
+    params: Params,
+    *,
+    nproma: int = 1,
+    lregcl: bool = False,
+    ldrain1d: bool = False,
+) -> TaylorResult:
+    """The TL Taylor/gradient test (cloudsc_driver_tl_mod.F90:126-311).
+
+    For λ = 10⁻¹ … 10⁻¹⁰ compares the nonlinear difference against λ·TL:
+    for every NPROMA block and each of the 10 output fields with a
+    non-negligible TL sum, accumulates |Σ(NL(x+λδx)−NL(x)) / Σ(λ·TLδx)|;
+    the per-block mean must converge to 1 with a V-shaped error curve.
+    The reference runs this with NPROMA=1 (per-column statistics,
+    README.md:52-56), the default here.
+    """
+    f = partial(cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d)
+    d_inputs = _perturbations(inputs, zero_supsat=False)
+
+    base, d_out = jax.jit(lambda i, di: jax.jvp(f, (i,), (di,)))(inputs, d_inputs)
+
+    eps = float(jnp.finfo(jnp.asarray(base.tenl_t).dtype).eps)
+
+    @jax.jit
+    def norms_for(lam):
+        pert_in = jax.tree.map(lambda x, dx: x + lam * dx, inputs, d_inputs)
+        pert = f(pert_in)
+        znorm = 0.0
+        zcount = 0.0
+        for fld in range(len(base)):
+            num = _block_sums(pert[fld] - base[fld], nproma)
+            den = _block_sums(d_out[fld] * lam, nproma)
+            active = jnp.abs(den) > eps
+            den_safe = jnp.where(active, den, 1.0)
+            znorm = znorm + jnp.where(active, jnp.abs(num / den_safe), 0.0)
+            zcount = zcount + active.astype(num.dtype)
+        # mean over active fields per block, max over blocks
+        # (reduction(max:znormg), cloudsc_driver_tl_mod.F90:125,251)
+        any_active = zcount > 0
+        ratio = jnp.where(any_active, znorm / jnp.where(any_active, zcount, 1.0), 0.0)
+        return jnp.max(ratio)
+
+    norms = np.array([float(norms_for(10.0 ** -(i + 1))) for i in range(10)])
+
+    # evaluation (cloudsc_driver_tl_mod.F90:272-311)
+    err = np.abs(1.0 - norms)
+    istart = 0
+    for i in range(10):
+        if err[i] < 0.5:
+            istart = i + 1
+            break
+    if istart == 0 or istart > 4:
+        return TaylorResult(norms=norms, istart=istart, penalty=13, passed=False)
+    itest = -10
+    inegat = 1
+    for i in range(istart - 1, 9):
+        itempnegat = 1 if err[i + 1] / err[i] < 1.0 else 0
+        if inegat > itempnegat:
+            itest += 10
+        inegat = itempnegat
+    if itest == -10:
+        itest = 11  # no change of sign at all
+    if err[istart - 1 : 10].min() > 1.0e-5:
+        itest += 7  # hard limit
+    if err[istart - 1 : 10].min() > 1.0e-6:
+        itest += 5  # soft limit
+    return TaylorResult(norms=norms, istart=istart, penalty=itest, passed=itest <= 5)
+
+
+# ----------------------------------------------------------------- Adjoint
+@dataclasses.dataclass
+class AdjointResult:
+    max_error: float  # in units of 64-bit machine epsilon
+    passed: bool
+
+    def report(self, file=None):
+        file = file or sys.stderr
+        print(" AD TEST ", file=file)
+        print(
+            f" The maximum error is {self.max_error:.6f}"
+            " times the zero of the machine. ",
+            file=file,
+        )
+        print("   =============================  ", file=file)
+        print(
+            "   =           TEST OK         = "
+            if self.passed
+            else "   =        TEST FAILED        = ",
+            file=file,
+        )
+        print("   =============================  ", file=file)
+
+
+def adjoint_test(
+    inputs: Cloudsc2Inputs,
+    params: Params,
+    *,
+    lregcl: bool = True,
+    ldrain1d: bool = False,
+    threshold: float = 1.0e4,
+) -> AdjointResult:
+    """Adjoint symmetry test ⟨Mδx, Mδx⟩ = ⟨δx, MᵀMδx⟩ per column
+    (cloudsc_driver_ad_mod.F90:110-293), with LREGCL active as in the AD
+    entry program (cloudsc2_ad/dwarf_cloudsc.F90:105)."""
+    f = partial(cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d)
+    d_inputs = _perturbations(inputs, zero_supsat=True)
+
+    @jax.jit
+    def norms(i, di):
+        _, d_out = jax.jvp(f, (i,), (di,))
+        norm1 = sum(
+            (jnp.asarray(y) ** 2).reshape(y.shape[0], -1).sum(axis=1) for y in d_out
+        )
+        _, vjp_fn = jax.vjp(f, i)
+        (adj,) = vjp_fn(d_out)
+        norm2 = sum(
+            (jnp.asarray(a) * jnp.asarray(b)).reshape(a.shape[0], -1).sum(axis=1)
+            for a, b in zip(di, adj)
+        )
+        return norm1, norm2
+
+    norm1, norm2 = norms(inputs, d_inputs)
+    norm1, norm2 = np.asarray(norm1), np.asarray(norm2)
+    eps64 = np.finfo(np.float64).eps
+    norm3 = np.abs(norm1 - norm2) / eps64
+    norm3 = np.where(norm2 != 0.0, norm3 / np.where(norm2 != 0.0, np.abs(norm2), 1.0), norm3)
+    max_err = float(norm3.max())
+    return AdjointResult(max_error=max_err, passed=max_err < threshold)
