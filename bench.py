@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: NL grid-columns/second on one chip.
+
+Reference configuration: NGPTOT=163840 (the README's 160k benchmark
+rounded to a lane multiple), KLEV=137, f32 working precision (the
+reference's -DSINGLE analogue; f64 is the validation path).  Prints ONE
+JSON line.  ``vs_baseline`` compares against the reference's own
+per-core nominal rate derived from its ZHPM flop accounting: the dwarf
+self-reports MFlop/s against ZHPM = 3 996 006 flops/100 columns
+(cloudsc_driver_mod.F90:58); a strong CPU core sustains ~O(3) GFlop/s on
+this kernel, i.e. ~75k columns/s/core → 4 OpenMP threads ≈ 300k cols/s
+(README.md:47 config).  vs_baseline = our cols/s / 300_000.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from cloudsc2jax.state import Cloudsc2State
+
+    ngptot = int(os.environ.get("CLOUDSC2_BENCH_NGPTOT", 163840))
+    repeats = int(os.environ.get("CLOUDSC2_BENCH_REPEATS", 20))
+    use_pallas = os.environ.get("CLOUDSC2_BENCH_PALLAS", "1") == "1"
+    platform = jax.devices()[0].platform
+
+    state = Cloudsc2State.synthetic(ngptot=ngptot, nlev=137)
+    inputs = state.kernel_inputs(dtype=np.float32)
+    inputs = jax.device_put(inputs)
+
+    from functools import partial
+
+    if use_pallas and platform == "tpu":
+        from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
+
+        fn = jax.jit(partial(cloudsc2_pallas, params=state.params))
+        impl = "pallas"
+    else:
+        from cloudsc2jax.physics.cloudsc2 import cloudsc2
+
+        fn = jax.jit(partial(cloudsc2, params=state.params))
+        impl = "xla"
+
+    out = fn(inputs)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(inputs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / repeats
+
+    cols_per_s = ngptot / dt
+    baseline_cols_per_s = 300_000.0  # reference 4-thread CPU estimate (see header)
+    print(
+        json.dumps(
+            {
+                "metric": f"nl_columns_per_second_{impl}_{platform}",
+                "value": round(cols_per_s, 1),
+                "unit": "columns/s/chip",
+                "vs_baseline": round(cols_per_s / baseline_cols_per_s, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

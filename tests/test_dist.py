@@ -1,0 +1,95 @@
+"""Distribution tests on a virtual 8-device CPU mesh.
+
+The reference's multi-rank guarantee — results are decomposition-invariant
+because columns are independent and inputs replicated (SURVEY §4.4) — is
+checked across mesh shapes; sharded reductions replace MPI_REDUCE.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from cloudsc2jax import dist
+from cloudsc2jax.drivers import run_nl
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return dist.column_mesh()
+
+
+def test_rank_columns_reference_split():
+    # (NGPTOTG-1)/NUMPROC+1 per rank, remainder on the last
+    # (dwarf_cloudsc.F90:66-69)
+    s = [dist.rank_columns(1000, 3, r) for r in range(3)]
+    assert [x.stop - x.start for x in s] == [334, 334, 332]
+    assert s[0].start == 0 and s[2].stop == 1000
+
+
+def test_sharded_matches_single_device(state, mesh):
+    from cloudsc2jax.state import Cloudsc2State
+    from conftest import FIXTURES
+
+    n = dist.pad_columns(100, mesh)  # 104: equal shards per device
+    padded = Cloudsc2State.load(FIXTURES / "input.h5", ngptot=n)
+    inputs = padded.kernel_inputs()
+    sharded = dist.shard_inputs(inputs, mesh)
+    for leaf in jax.tree.leaves(sharded):
+        assert len(leaf.sharding.device_set) == 8
+    out = run_nl(sharded, padded.params)
+    ref = run_nl(inputs, padded.params)
+    # Not bitwise: XLA:CPU's vector-remainder lanes contract FMAs
+    # differently on each shard's last column (observed <=1e-19 abs).
+    # The reference's "bit" build type makes the same reproducibility
+    # caveat for its own compilers (README.md:36).
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-16
+        )
+
+
+def test_decomposition_invariance(state, mesh):
+    """Expanded 800-column run sharded over 8 devices reproduces the
+    100-column results on every replica."""
+    from cloudsc2jax.state import Cloudsc2State
+    from conftest import FIXTURES
+
+    big = Cloudsc2State.load(FIXTURES / "input.h5", ngptot=800)
+    sharded = dist.shard_inputs(big.kernel_inputs(), mesh)
+    out = run_nl(sharded, big.params)
+    small_out = run_nl(state.kernel_inputs(), state.params)
+    for a, b in zip(out, small_out):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        for rep in range(8):
+            np.testing.assert_allclose(
+                a[rep * 100 : (rep + 1) * 100], b, rtol=1e-10, atol=1e-16
+            )
+
+
+def test_sharded_global_reduction(mesh):
+    """Validation-style reductions on sharded outputs (replaces
+    MPI_REDUCE, validate_mod.F90:149-151)."""
+    from cloudsc2jax.state import Cloudsc2State
+    from conftest import FIXTURES
+
+    state = Cloudsc2State.load(FIXTURES / "input.h5", ngptot=104)
+    sharded = dist.shard_inputs(state.kernel_inputs(), mesh)
+    out = run_nl(sharded, state.params)
+
+    @jax.jit
+    def stats(x):
+        return jnp.min(x), jnp.max(x), jnp.sum(jnp.abs(x))
+
+    mn, mx, s = stats(out.tenl_t)
+    ref = np.asarray(out.tenl_t)
+    assert float(mn) == ref.min() and float(mx) == ref.max()
+    np.testing.assert_allclose(float(s), np.abs(ref).sum(), rtol=1e-12)
+
+
+def test_pad_columns(mesh):
+    assert dist.pad_columns(100, mesh) == 104
+    assert dist.pad_columns(800, mesh) == 800
