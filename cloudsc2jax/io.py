@@ -234,11 +234,22 @@ def expand_columns(fields: Dict[str, np.ndarray], ngptot: int) -> Dict[str, np.n
     block gymnastics: the column axis is last in file order, so this is a
     tile + truncate.
     """
+    from .native import hostinfo
+
     out = {}
     for k, v in fields.items():
         nlon = v.shape[-1]
-        reps = -(-ngptot // nlon)
-        out[k] = np.ascontiguousarray(np.tile(v, (1,) * (v.ndim - 1) + (reps,))[..., :ngptot])
+        # column axis is last in file order; expand with the native
+        # memcpy sweep when available (columns-first layout), else tile
+        src = np.ascontiguousarray(np.moveaxis(np.asarray(v, np.float64), -1, 0))
+        dst = np.empty((ngptot,) + src.shape[1:], dtype=np.float64)
+        if hostinfo.expand_f64(src, dst):
+            out[k] = np.ascontiguousarray(np.moveaxis(dst, 0, -1))
+        else:
+            reps = -(-ngptot // nlon)
+            out[k] = np.ascontiguousarray(
+                np.tile(v, (1,) * (v.ndim - 1) + (reps,))[..., :ngptot]
+            )
     return out
 
 

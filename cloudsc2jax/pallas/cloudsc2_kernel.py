@@ -89,9 +89,10 @@ def _level_kernel(
     zmeltp2 = cst.rtt + 2.0
     zqtmst = 1.0 / ptsphy
 
-    ceta_k = ceta_ref[0, 0]
-    zscalm_k = zscalm_ref[0, 0]
-    not_last = notlast_ref[0, 0] > 0
+    # full (nlev, 1) arrays live in SMEM; pick this step's level scalar
+    ceta_k = ceta_ref[k, 0]
+    zscalm_k = zscalm_ref[k, 0]
+    not_last = notlast_ref[k, 0] > 0
 
     ztp1 = ztp1_ref[0, 0]
     zqp1 = zqp1_ref[0, 0]
@@ -333,7 +334,8 @@ def cloudsc2_pallas(
     replicate column 0, then are stripped — inputs are tile-replicated
     upstream anyway, expand_mod.F90 semantics).
     """
-    (paph, pap, pq, pqs, pt, pl, pi, plude, plu, pmfu, pmfd,
+    # note: field names pl/pi would shadow `pallas as pl` — suffix them
+    (paph, pap, pq, pqs, pt, pl_, pi_, plude, plu, pmfu, pmfd,
      ten_t, ten_q, ten_l, ten_i, psupsat) = [jnp.asarray(x) for x in inputs]
     dtype = pt.dtype
     ncol, nlev = pt.shape
@@ -351,8 +353,8 @@ def cloudsc2_pallas(
     # ---- precompute level-local derived fields (XLA-fused elementwise)
     ztp1 = pt + ptsphy * ten_t
     zqp1 = pq + ptsphy * ten_q + psupsat
-    zl = pl + ptsphy * ten_l
-    zi = pi + ptsphy * ten_i
+    zl = pl_ + ptsphy * ten_l
+    zi = pi_ + ptsphy * ten_i
     zdp = paph[:, 1:] - paph[:, :-1]
     plu_next = jnp.concatenate([plu[:, 1:], jnp.zeros((ncol, 1), dtype)], axis=1)
     ceta = jnp.asarray(params.ceta, dtype)
@@ -370,7 +372,7 @@ def cloudsc2_pallas(
     ztrpaus_b = padcols(ztrpaus).reshape(nb, sublanes, 128)
     paphsfc_b = padcols(paph_sfc).reshape(nb, sublanes, 128)
 
-    smem_spec = pl.BlockSpec((1, 1), lambda b, k: (k, 0), memory_space=pltpu.SMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (nlev,1) array
     lev_spec = pl.BlockSpec(
         (1, 1, sublanes, 128), lambda b, k: (k, b, 0, 0), memory_space=pltpu.VMEM
     )

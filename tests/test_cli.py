@@ -1,0 +1,57 @@
+"""CLI entry-point tests (reference UX: dwarf_cloudsc argv/env handling)."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _run(args, env_extra=None, timeout=560):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(env_extra or {})
+    return subprocess.run(
+        [sys.executable, "-m", "cloudsc2jax", *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+def test_cli_nl_validates():
+    r = _run(["nl", "1", "100", "100"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Variable" in r.stderr  # validation table header
+
+
+@pytest.mark.slow
+def test_cli_tl_passes():
+    r = _run(["tl", "1", "100", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TEST PASSED" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_ad_passes():
+    r = _run(["ad", "1", "100", "100"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TEST OK" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_write_reference(tmp_path):
+    r = _run(
+        ["nl", "1", "100", "100", "--no-validate"],
+        env_extra={"CLOUDSC2_WRITE_REFERENCE": "1"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (REPO / "reference.h5").exists()
+    (REPO / "reference.h5").unlink()
