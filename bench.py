@@ -49,14 +49,24 @@ def main():
         fn = jax.jit(partial(cloudsc2, params=state.params))
         impl = "xla"
 
-    out = fn(inputs)
-    jax.block_until_ready(out)
+    # Benchmark hygiene: several *distinct* input batches (defeats any
+    # value-level result caching in remote-execution tunnels) and a
+    # per-call block_until_ready; report the median per-call time.
+    variants = []
+    for i in range(4):
+        variants.append(
+            inputs._replace(pt=inputs.pt + np.float32(1e-6 * (i + 1)))
+        )
+    for v in variants:
+        jax.block_until_ready(fn(v))  # warmup / compile
 
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(inputs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / repeats
+    times = []
+    for i in range(repeats):
+        v = variants[i % len(variants)]
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(v))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     cols_per_s = ngptot / dt
     baseline_cols_per_s = 300_000.0  # reference 4-thread CPU estimate (see header)

@@ -44,6 +44,13 @@ def _build_parser():
                    help="working precision (JPRB double / -DSINGLE analogue)")
     p.add_argument("--pallas", action="store_true", help="use the fused Pallas kernel")
     p.add_argument("--repeat", type=int, default=1, help="benchmark repetitions")
+    p.add_argument("--platform", default=None,
+                   help="jax platform (cpu/tpu); defaults to JAX_PLATFORMS")
+    p.add_argument("--threshold", type=float, default=10.0,
+                   help="validation tolerance in units of machine epsilon "
+                        "(reference: 10, validate_mod.F90:285-289); TPU f64 "
+                        "is emulated — use ~1e4 when validating on-device "
+                        "against CPU-generated goldens")
     return p
 
 
@@ -52,8 +59,26 @@ def main(argv=None):
 
     import jax
 
+    # Site hooks may pin the platform before this process's environment is
+    # consulted; apply the requested platform explicitly.
+    platform = args.platform or os.environ.get("JAX_PLATFORMS")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     if args.dtype == "f64":
         jax.config.update("jax_enable_x64", True)
+
+    # persistent compilation cache: first compile of the f64 scan is slow
+    # (minutes on CPU); subsequent CLI invocations are instant
+    cache_dir = os.environ.get(
+        "CLOUDSC2_CACHE_DIR",
+        str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from . import dist
     from .drivers import adjoint_test, run_nl, taylor_test
@@ -111,7 +136,7 @@ def main(argv=None):
         ok = True
         if not args.no_validate and pathlib.Path(reference_path).exists():
             out_host = jax.tree.map(np.asarray, out)
-            ok = state.validate(out_host, reference_path)
+            ok = state.validate(out_host, reference_path, threshold=args.threshold)
         if os.environ.get("CLOUDSC2_WRITE_REFERENCE") == "1":
             state.write_reference(jax.tree.map(np.asarray, out), "reference.h5")
             print("Written reference results to reference.h5", file=sys.stderr)

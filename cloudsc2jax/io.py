@@ -72,6 +72,62 @@ REFERENCE_FIELDS = {
 }
 
 
+class _NpzStore:
+    """Dict-like wrapper so .npz archives satisfy the h5py read surface
+    (f[k], k in f) used by the constant-group loaders."""
+
+    def __init__(self, path):
+        self._z = np.load(path)
+
+    def __getitem__(self, k):
+        return self._z[k]
+
+    def __contains__(self, k):
+        return k in self._z.files
+
+    def keys(self):
+        return self._z.files
+
+    def close(self):
+        self._z.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_store(path, mode="r"):
+    """Open an input/reference archive: HDF5 (.h5) or NumPy (.npz).
+
+    The storage-backend switch replacing the reference's compile-time
+    Serialbox-vs-HDF5 selection (file_io_mod.F90:13-37) — here a runtime
+    dispatch on extension, same field schema in both formats.
+    """
+    path = str(path)
+    if path.endswith(".npz"):
+        if mode != "r":
+            raise ValueError("npz stores are written with write_store()")
+        return _NpzStore(path)
+    import h5py
+
+    return h5py.File(path, mode)
+
+
+def write_store(path, datasets) -> None:
+    """Write a field/scalar dict to .h5 or .npz with the same schema."""
+    path = str(path)
+    if path.endswith(".npz"):
+        np.savez(path, **{k: np.asarray(v) for k, v in datasets.items()})
+        return
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for k, v in datasets.items():
+            f.create_dataset(k, data=np.asarray(v))
+
+
 def _standard_atmosphere_t(z):
     """Piecewise-linear ICAO-like temperature profile T(z[m])."""
     # (z_base, T_base, lapse K/m)
@@ -254,26 +310,26 @@ def expand_columns(fields: Dict[str, np.ndarray], ngptot: int) -> Dict[str, np.n
 
 
 def write_input_h5(path, fields: Dict[str, np.ndarray], params: Params) -> None:
-    """Write an ``input.h5`` with the exact reference schema
+    """Write an input archive (.h5 or .npz) with the exact reference schema
     (cloudsc2_array_state_mod.F90:161-199, yo*_LOAD_PARAMETERS readers)."""
-    import h5py
-
     nlev = fields["PT"].shape[0]
     nlon = fields["PT"].shape[-1]
-    with h5py.File(path, "w") as f:
-        f.create_dataset("KLON", data=np.array([nlon], dtype=np.int32))
-        f.create_dataset("KLEV", data=np.array([nlev], dtype=np.int32))
-        f.create_dataset("PTSPHY", data=np.array([params.ptsphy]))
-        f.create_dataset("LDSLPHY", data=np.array([0], dtype=np.int32))
-        f.create_dataset("LDMAINCALL", data=np.array([0], dtype=np.int32))
-        for k, v in fields.items():
-            f.create_dataset(k, data=np.asarray(v, dtype=np.float64))
-        for grp in (params.yomcst, params.yoethf, params.yrecldp, params.yrephli):
-            for k, v in grp.h5_items().items():
-                if isinstance(v, int):
-                    f.create_dataset(k, data=np.array([v], dtype=np.int32))
-                else:
-                    f.create_dataset(k, data=np.array([float(v)]))
+    ds: Dict[str, np.ndarray] = {
+        "KLON": np.array([nlon], dtype=np.int32),
+        "KLEV": np.array([nlev], dtype=np.int32),
+        "PTSPHY": np.array([params.ptsphy]),
+        "LDSLPHY": np.array([0], dtype=np.int32),
+        "LDMAINCALL": np.array([0], dtype=np.int32),
+    }
+    for k, v in fields.items():
+        ds[k] = np.asarray(v, dtype=np.float64)
+    for grp in (params.yomcst, params.yoethf, params.yrecldp, params.yrephli):
+        for k, v in grp.h5_items().items():
+            if isinstance(v, int):
+                ds[k] = np.array([v], dtype=np.int32)
+            else:
+                ds[k] = np.array([float(v)])
+    write_store(path, ds)
 
 
 def _columns_first(arr: np.ndarray) -> np.ndarray:
@@ -287,9 +343,7 @@ def load_input_h5(path, ngptot: Optional[int] = None):
     Returns ``(fields, params)`` with fields in framework order
     ``(ncol, [nclv,] nlev)`` float64.
     """
-    import h5py
-
-    with h5py.File(path, "r") as f:
+    with open_store(path) as f:
         nlev = int(f["KLEV"][0])
         ptsphy = float(f["PTSPHY"][0])
         raw = {k: np.asarray(f[k], dtype=np.float64) for k in INPUT_FIELDS if k in f}
@@ -317,9 +371,7 @@ def load_input_h5(path, ngptot: Optional[int] = None):
 
 def load_reference_h5(path, ngptot: Optional[int] = None):
     """Load golden outputs; returns fields in framework order."""
-    import h5py
-
-    with h5py.File(path, "r") as f:
+    with open_store(path) as f:
         raw = {k: np.asarray(f[k], dtype=np.float64) for k in REFERENCE_FIELDS if k in f}
     if ngptot is not None:
         raw = expand_columns(raw, ngptot)
@@ -329,23 +381,21 @@ def load_reference_h5(path, ngptot: Optional[int] = None):
 def write_reference_h5(path, outputs: Dict[str, np.ndarray], extra: bool = True) -> None:
     """Write golden outputs with the reference schema (file order arrays,
     cf. cloudsc2_array_state_mod.F90:260-287 WRITE_REFERENCE)."""
-    import h5py
-
     nlev_nlon = outputs["PCOVPTOT"].shape
     nlev, nlon = nlev_nlon[-2], nlev_nlon[-1]
-    with h5py.File(path, "w") as f:
-        f.create_dataset("KLON", data=np.array([nlon], dtype=np.int32))
-        f.create_dataset("KLEV", data=np.array([nlev], dtype=np.int32))
-        f.create_dataset("KFLDX", data=np.array([0], dtype=np.int32))
-        for k, v in outputs.items():
-            f.create_dataset(k, data=np.asarray(v, dtype=np.float64))
-        if extra:
-            # placeholder flux datasets present in the reference file
-            for k in (
-                "PFSQLF", "PFSQIF", "PFCQLNG", "PFCQNNG", "PFSQRF",
-                "PFSQSF", "PFCQRNG", "PFCQSNG", "PFSQLTUR", "PFSQITUR",
-            ):
-                if k not in f:
-                    f.create_dataset(k, data=np.zeros((nlev + 1, nlon)))
-            if "PRAINFRAC_TOPRFZ" not in f:
-                f.create_dataset("PRAINFRAC_TOPRFZ", data=np.zeros((nlon,)))
+    ds: Dict[str, np.ndarray] = {
+        "KLON": np.array([nlon], dtype=np.int32),
+        "KLEV": np.array([nlev], dtype=np.int32),
+        "KFLDX": np.array([0], dtype=np.int32),
+    }
+    for k, v in outputs.items():
+        ds[k] = np.asarray(v, dtype=np.float64)
+    if extra:
+        # placeholder flux datasets present in the reference file
+        for k in (
+            "PFSQLF", "PFSQIF", "PFCQLNG", "PFCQNNG", "PFSQRF",
+            "PFSQSF", "PFCQRNG", "PFCQSNG", "PFSQLTUR", "PFSQITUR",
+        ):
+            ds.setdefault(k, np.zeros((nlev + 1, nlon)))
+        ds.setdefault("PRAINFRAC_TOPRFZ", np.zeros((nlon,)))
+    write_store(path, ds)

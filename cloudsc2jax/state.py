@@ -48,9 +48,7 @@ class Cloudsc2State:
         expand_mod.F90:30-46: a host materialises only its shard of the
         expanded column range.
         """
-        import h5py
-
-        with h5py.File(path, "r") as f:
+        with cio.open_store(path) as f:
             klon_file = int(f["KLON"][0])
         fields, params = cio.load_input_h5(path, ngptot=ngptot)
         ngptot = ngptot or klon_file

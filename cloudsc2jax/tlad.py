@@ -54,9 +54,19 @@ def cloudsc2_vjp(
     *,
     lregcl: bool = False,
     ldrain1d: bool = False,
+    remat: bool = False,
 ):
-    """Linearise once, transpose many: returns (outputs, vjp_fn)."""
+    """Linearise once, transpose many: returns (outputs, vjp_fn).
+
+    ``remat=False`` (default) stores the forward trajectory like the
+    reference AD's checkpoint-everything strategy (~40 (KLON,KLEV) arrays,
+    cloudsc2ad.F90:228-292).  ``remat=True`` recomputes the forward sweep
+    during the reverse pass instead (``jax.checkpoint`` with no saveable
+    policy) — the FLOPs-for-memory trade the reference cannot make.
+    """
     f = partial(cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d)
+    if remat:
+        f = jax.checkpoint(f, policy=jax.checkpoint_policies.nothing_saveable)
     outputs, vjp_fn = jax.vjp(f, inputs)
     return outputs, vjp_fn
 
@@ -68,6 +78,7 @@ def cloudsc2_ad(
     *,
     lregcl: bool = True,
     ldrain1d: bool = False,
+    remat: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Inputs]:
     """Adjoint CLOUDSC2: returns (outputs, input_adjoints).
 
@@ -80,7 +91,7 @@ def cloudsc2_ad(
     adjoint is the exact transpose of the (regularised) tangent operator.
     """
     outputs, vjp_fn = cloudsc2_vjp(
-        inputs, params, lregcl=lregcl, ldrain1d=ldrain1d
+        inputs, params, lregcl=lregcl, ldrain1d=ldrain1d, remat=remat
     )
     (d_in,) = vjp_fn(d_outputs)
     return outputs, d_in
