@@ -44,6 +44,9 @@ def _build_parser():
                    help="working precision (JPRB double / -DSINGLE analogue)")
     p.add_argument("--pallas", action="store_true", help="use the fused Pallas kernel")
     p.add_argument("--repeat", type=int, default=1, help="benchmark repetitions")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax profiler trace of the run into DIR "
+                        "(the DR_HOOK/EC_PMON observability analogue)")
     p.add_argument("--platform", default=None,
                    help="jax platform (cpu/tpu); defaults to JAX_PLATFORMS")
     p.add_argument("--threshold", type=float, default=10.0,
@@ -111,6 +114,21 @@ def main(argv=None):
 
     timer = PerformanceTimer()
     timer.start(len(devices))
+
+    import contextlib
+
+    with (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    ):
+        rc = _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks,
+                       reference_path)
+    return rc
+
+
+def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path):
+    from .drivers import adjoint_test, taylor_test
 
     if args.variant == "nl":
         if args.pallas:

@@ -1,0 +1,35 @@
+"""Pallas fused kernel vs pure-JAX reference path (interpret mode on CPU).
+
+The Pallas kernel re-schedules the identical math for the TPU memory
+system (grid over column blocks × levels with a VMEM carry); this test
+pins its semantics to the lax.scan implementation in f32.
+"""
+
+import numpy as np
+import pytest
+
+from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
+from cloudsc2jax.physics.cloudsc2 import cloudsc2
+
+
+@pytest.fixture(scope="module")
+def f32_inputs(state):
+    return state.kernel_inputs(dtype=np.float32)
+
+
+def test_pallas_matches_scan_f32(state, f32_inputs):
+    ref = cloudsc2(f32_inputs, state.params)
+    out = cloudsc2_pallas(f32_inputs, state.params, interpret=True)
+    for name, a, b in zip(out._fields, out, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 5e-6, name
+
+
+def test_pallas_pads_arbitrary_column_counts(state):
+    # 100 columns -> one padded 8x128 block; padding must not leak into
+    # the first 100 columns
+    small = state.kernel_inputs(dtype=np.float32)
+    out_small = cloudsc2_pallas(small, state.params, interpret=True)
+    assert np.asarray(out_small.pclc).shape == (100, 137)
+    assert np.isfinite(np.asarray(out_small.tenl_t)).all()
