@@ -49,24 +49,31 @@ def main():
         fn = jax.jit(partial(cloudsc2, params=state.params))
         impl = "xla"
 
-    # Benchmark hygiene: several *distinct* input batches (defeats any
-    # value-level result caching in remote-execution tunnels) and a
-    # per-call block_until_ready; report the median per-call time.
-    variants = []
-    for i in range(4):
-        variants.append(
-            inputs._replace(pt=inputs.pt + np.float32(1e-6 * (i + 1)))
-        )
-    for v in variants:
-        jax.block_until_ready(fn(v))  # warmup / compile
+    # Benchmark hygiene for remote-execution tunnels where
+    # block_until_ready can be a no-op and identical in-flight calls may
+    # coalesce: every iteration gets a *distinct* input, each call is
+    # reduced to a scalar on device, the scalars are chained into an
+    # accumulator, and one host fetch at the end forces the whole chain.
+    import jax.numpy as jnp
 
-    times = []
-    for i in range(repeats):
-        v = variants[i % len(variants)]
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(v))
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+    def scalar_step(v):
+        out = fn(v)
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+
+    scalar_step = jax.jit(scalar_step)
+
+    variants = [
+        inputs._replace(pt=inputs.pt + np.float32(1e-6 * (i + 1)))
+        for i in range(repeats)
+    ]
+    float(scalar_step(inputs))  # compile + warm
+
+    acc = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for v in variants:
+        acc = acc + scalar_step(v)
+    assert np.isfinite(float(acc))  # forces execution of the full chain
+    dt = (time.perf_counter() - t0) / repeats
 
     cols_per_s = ngptot / dt
     baseline_cols_per_s = 300_000.0  # reference 4-thread CPU estimate (see header)

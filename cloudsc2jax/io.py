@@ -343,7 +343,12 @@ def load_input_h5(path, ngptot: Optional[int] = None):
     Returns ``(fields, params)`` with fields in framework order
     ``(ncol, [nclv,] nlev)`` float64.
     """
+    from .errors import abor1
+
     with open_store(path) as f:
+        for key in ("KLON", "KLEV", "PTSPHY", "PT", "PAP", "PAPH"):
+            if key not in f:
+                abor1(f"input store {path} is missing dataset {key}")
         nlev = int(f["KLEV"][0])
         ptsphy = float(f["PTSPHY"][0])
         raw = {k: np.asarray(f[k], dtype=np.float64) for k in INPUT_FIELDS if k in f}

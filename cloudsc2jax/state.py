@@ -142,7 +142,15 @@ class Cloudsc2State:
 
     def write_reference(self, out: Cloudsc2Outputs, path) -> None:
         """WRITE_REFERENCE (…array_state_mod.F90:260-287): stores the first
-        ``klon_file`` columns in file order."""
+        ``klon_file`` columns in file order (the reference requires
+        NPROMA == stored KLON for this, :264-268)."""
+        from .errors import abor1
+
+        if self.ngptot < self.klon_file:
+            abor1(
+                f"write_reference needs >= {self.klon_file} columns, "
+                f"have {self.ngptot}"
+            )
         res = self.output_dict(out)
         res = {k: np.moveaxis(v[: self.klon_file], 0, -1) for k, v in res.items()}
         cio.write_reference_h5(path, res)
