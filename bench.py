@@ -41,7 +41,12 @@ def main():
     if use_pallas and platform == "tpu":
         from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
 
-        fn = jax.jit(partial(cloudsc2_pallas, params=state.params))
+        sublanes = int(os.environ.get("CLOUDSC2_BENCH_SUBLANES", 32))
+        mode = os.environ.get("CLOUDSC2_BENCH_MODE", "stream")
+        fn = jax.jit(
+            partial(cloudsc2_pallas, params=state.params,
+                    sublanes=sublanes, mode=mode)
+        )
         impl = "pallas"
     else:
         from cloudsc2jax.physics.cloudsc2 import cloudsc2
@@ -62,8 +67,10 @@ def main():
 
     scalar_step = jax.jit(scalar_step)
 
+    # time-salted bumps: never reuse input values across runs
+    rng = np.random.default_rng(time.time_ns())
     variants = [
-        inputs._replace(pt=inputs.pt + np.float32(1e-6 * (i + 1)))
+        inputs._replace(pt=inputs.pt + np.float32(1e-6 * rng.uniform(0.5, 1.5) * (i + 1)))
         for i in range(repeats)
     ]
     float(scalar_step(inputs))  # compile + warm

@@ -1,34 +1,34 @@
-"""Fused Pallas TPU kernel for the nonlinear CLOUDSC2 sweep.
+"""Fused Pallas TPU kernels for the nonlinear CLOUDSC2 sweep.
 
-Design (cf. SURVEY §7 step 5, and the tiling rules of the Pallas TPU
-guide):
+Two schedules of the identical per-level physics (cf. SURVEY §7 step 5 and
+the Pallas TPU guide's tiling rules), selected with ``mode``:
 
-* Columns are reshaped to ``(NB, S, 128)`` — S×128 columns per block fill
-  whole VPU tiles (8×128 for f32).  The kernel grid is ``(NB, nlev)`` with
-  the **level axis innermost**: TPU grids execute sequentially, so the
-  vertical recurrence (rain/snow fluxes + max-overlap fraction,
-  cloudsc2.F90:339,475-481,720-723) is carried in VMEM scratch across
-  level steps — the TPU-native analogue of the Fortran level loop, with
-  every per-level field streamed HBM→VMEM once and double-buffered by the
-  Pallas pipeline.
-* Everything level-local that XLA fuses well (first-guess state, dp,
-  latent-heat factors, the tropopause scan) is computed *outside* the
-  kernel; the kernel body holds only the transcendental-heavy per-level
-  physics.
-* The kernel is the f32 performance path (the -DSINGLE analogue,
-  parkind1.F90:40-44).  f64 validation runs use the pure-JAX kernel; the
-  two are cross-checked in tests (interpret mode on CPU).
+* ``"stream"`` — grid ``(column_blocks, nlev)`` with the level axis
+  innermost.  TPU grids execute sequentially, so the vertical recurrence
+  (rain/snow fluxes + max-overlap fraction, cloudsc2.F90:339,475-481,
+  720-723) is carried in VMEM scratch across level steps; every per-level
+  field is streamed HBM→VMEM once and double-buffered by the Pallas
+  pipeline.  Minimal VMEM, one grid step per (block, level).
+* ``"resident"`` — grid ``(column_blocks,)`` with all 137 levels of the
+  block resident in VMEM and a ``fori_loop`` over levels inside the
+  kernel.  Amortises the per-grid-step overhead over the whole column
+  sweep; VMEM holds ~19 × nlev × S × 128 × 4B per block, so ``sublanes``
+  must be small (2-4) at nlev=137.
 
-The kernel computes identical math to
-:func:`cloudsc2jax.physics.cloudsc2.cloudsc2` — one source of truth for
-semantics, this file only re-schedules it for the MXU/VPU memory system.
+Everything level-local that XLA fuses well (first-guess state, dp,
+the tropopause scan) is computed *outside* the kernel; the kernel body
+holds only the transcendental-heavy per-level physics.  The kernels are
+the f32 performance path (the -DSINGLE analogue, parkind1.F90:40-44); f64
+validation uses the pure-JAX kernel, cross-checked in tests.
+
+Semantics are identical to :func:`cloudsc2jax.physics.cloudsc2.cloudsc2` —
+one source of truth for the math; this file only re-schedules it.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,38 +49,28 @@ from ..physics.cloudsc2 import (
 
 __all__ = ["cloudsc2_pallas"]
 
+N_LEVEL_FIELDS = 11  # ztp1, zqp1, zl, zi, pap, pqs, plude, plu_next, pmfu, pmfd, zdp
+N_OUTPUTS = 8  # tent, tenq, tenl, teni, pclc, pcov, rfln, sfln
 
-def _level_kernel(
-    # per-level scalars (SMEM)
-    ceta_ref, zscalm_ref, notlast_ref,
-    # level-varying blocks (VMEM, one level per step)
-    ztp1_ref, zqp1_ref, zl_ref, zi_ref, pap_ref, pqs_ref, plude_ref,
-    plunext_ref, pmfu_ref, pmfd_ref, zdp_ref,
-    # column-constant blocks
-    ztrpaus_ref, paphsfc_ref,
-    # outputs
-    tent_ref, tenq_ref, tenl_ref, teni_ref, pclc_ref, pcov_ref,
-    rfln_ref, sfln_ref,
-    # carry scratch
-    rfl_s, sfl_s, cov_s,
-    *,
-    params: Params,
-    ldrain1d: bool,
-):
+
+def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry):
+    """One level of CLOUDSC2 on an (S, 128) column tile.
+
+    ``scalars`` = (ceta_k, zscalm_k, not_last); ``fields`` = the 11
+    level-varying tiles; ``cols`` = (ztrpaus, paph_sfc) column constants;
+    ``carry`` = (zrfl, zsfl, zcovptot).  Returns (outputs, new_carry).
+    Line references cite src/cloudsc2_nl/cloudsc2.F90.
+    """
     cst, thf = params.yomcst, params.yoethf
     cldp, phli, phnc = params.yrecldp, params.yrephli, params.yophnc
     ptsphy = params.ptsphy
 
-    k = pl.program_id(1)
+    ceta_k, zscalm_k, not_last = scalars
+    (ztp1, zqp1, zl, zi, pap, pqs, plude, plu_k1, pmfu, pmfd, zdp) = fields
+    ztrpaus, paph_sfc = cols
+    zrfl, zsfl, zcovptot = carry
 
-    @pl.when(k == 0)
-    def _init():
-        rfl_s[...] = jnp.zeros_like(rfl_s)
-        sfl_s[...] = jnp.zeros_like(sfl_s)
-        cov_s[...] = jnp.zeros_like(cov_s)
-
-    f32 = ztp1_ref.dtype
-    one = jnp.asarray(1.0, f32)
+    one = jnp.asarray(1.0, ztp1.dtype)
 
     zckcodtl = 2.0 * cldp.rkconv * ptsphy
     zckcodti = 5.0 * cldp.rkconv * ptsphy
@@ -89,36 +79,13 @@ def _level_kernel(
     zmeltp2 = cst.rtt + 2.0
     zqtmst = 1.0 / ptsphy
 
-    # full (nlev, 1) arrays live in SMEM; pick this step's level scalar
-    ceta_k = ceta_ref[k, 0]
-    zscalm_k = zscalm_ref[k, 0]
-    not_last = notlast_ref[k, 0] > 0
-
-    ztp1 = ztp1_ref[0, 0]
-    zqp1 = zqp1_ref[0, 0]
-    zl = zl_ref[0, 0]
-    zi = zi_ref[0, 0]
-    pap = pap_ref[0, 0]
-    pqs = pqs_ref[0, 0]
-    plude = plude_ref[0, 0]
-    plu_k1 = plunext_ref[0, 0]
-    pmfu = pmfu_ref[0, 0]
-    pmfd = pmfd_ref[0, 0]
-    zdp = zdp_ref[0, 0]
-    ztrpaus = ztrpaus_ref[0]
-    paph_sfc = paphsfc_ref[0]
-
-    zrfl = rfl_s[...]
-    zsfl = sfl_s[...]
-    zcovptot = cov_s[...]
-
-    # latent-heat factors (cloudsc2.F90:272-277)
+    # latent-heat factors (:272-277)
     zzz = 1.0 / (cst.rcpd + cst.rcpd * thf.rvtmp2 * zqp1)
     zlfdcp = cst.rlmlt * zzz
     zlsdcp = cst.rlstt * zzz
     zlvdcp = cst.rlvtt * zzz
 
-    # --- 3.1 dqs/dT (LPHYLIN branch: cloudsc2.F90:349-364)
+    # --- 3.1 dqs/dT (LPHYLIN branch, :349-364)
     zoealfaw = 0.545 * (jnp.tanh(0.17 * (ztp1 - phli.rlptrc)) + 1.0)
     cold = ztp1 < cst.rtt
     zfwat = jnp.where(cold, zoealfaw, one)
@@ -139,7 +106,7 @@ def _level_kernel(
     zqsat = pqs * zsupsat_fac
     zqcrit = zcrh2 * zqsat
 
-    # --- cloud cover (cloudsc2.F90:412-427)
+    # --- cloud cover (:412-427)
     zqt = zqp1 + zl + zi
     zqpd = zqsat - zqt
     zqcd = zqsat - zqcrit
@@ -155,7 +122,7 @@ def _level_kernel(
         mid, zqc_mid, jnp.where(saturated, (1.0 - zscalm_k) * zqcd, 0.0)
     )
 
-    # --- convective detrainment (cloudsc2.F90:431-444)
+    # --- convective detrainment (:431-444)
     zgdp = cst.rg / zdp
     zlude = plude * ptsphy * zgdp
     llo1 = not_last & (zlude >= cldp.rlmin) & (plu_k1 >= _ZEPS2)
@@ -165,7 +132,7 @@ def _level_kernel(
     )
     zqc = jnp.where(llo1, zqc + zlude, zqc)
 
-    # --- compensating subsidence (cloudsc2.F90:448-460)
+    # --- compensating subsidence (:448-460)
     zrho = pap / (cst.rd * ztp1)
     zrodqsdp = -zrho * pqs / (pap - cst.retv * zfoeew)
     zldcp = zfwat * zlvdcp + (1.0 - zfwat) * zlsdcp
@@ -175,24 +142,24 @@ def _level_kernel(
     zdqc_sub = zdqsdz * (pmfu + pmfd) * ptsphy / zrho
     zqc = zqc - jnp.where(zdqc_sub < zqc, zdqc_sub, zqc)
 
-    # --- condensation rates (cloudsc2.F90:464-469)
+    # --- condensation rates (:464-469)
     zqlwc = zqc * zfwat
     zqiwc = zqc * (1.0 - zfwat)
     zcondl = (zqlwc - zl) * zqtmst
     zcondi = (zqiwc - zi) * zqtmst
 
-    # --- precip overlap (cloudsc2.F90:475-481)
+    # --- precip overlap (:475-481)
     zcovptot = jnp.maximum(zcovptot, pclc)
     zcovpclr = jnp.maximum(zcovptot - pclc, 0.0)
 
-    # --- snow melt (cloudsc2.F90:487-498)
+    # --- snow melt (:487-498)
     zcons = zcons2 * zdp / zlfdcp
     zsnmlt = jnp.minimum(zsfl, zcons * jnp.maximum(0.0, ztp1 - zmeltp2))
     zrfln = zrfl + zsnmlt
     zsfln = zsfl - zsnmlt
     ztp1 = ztp1 - zsnmlt / zcons
 
-    # --- autoconversion (cloudsc2.F90:504-534)
+    # --- autoconversion (:504-534)
     levapls2 = bool(phnc.levapls2)
     active = pclc > _ZEPS2
     pclc_safe = jnp.where(active, pclc, one)
@@ -214,7 +181,7 @@ def _level_kernel(
     zprs = jnp.where(active, zqiwc - zinew, 0.0)
     zqiwc = zqiwc - zprs
 
-    # --- freezing split (cloudsc2.F90:538-552)
+    # --- freezing split (:538-552)
     zdr = zcons2 * zdp * (zprr + zprs)
     cold = ztp1 < cst.rtt
     zrfreeze = jnp.where(cold, zcons2 * zdp * zprr, 0.0)
@@ -222,7 +189,7 @@ def _level_kernel(
     zrfln = zrfln + zfwatr * zdr
     zsfln = zsfln + (1.0 - zfwatr) * zdr
 
-    # --- clear-sky precip evaporation (cloudsc2.F90:556-591)
+    # --- clear-sky precip evaporation (:556-591)
     zprtot = zrfln + zsfln
     if levapls2 or ldrain1d:
         llo2 = (zprtot > _ZEPS2) & (zcovpclr > _ZEPS2)
@@ -254,7 +221,7 @@ def _level_kernel(
         zevapr = jnp.zeros_like(zprtot)
         zevaps = jnp.zeros_like(zprtot)
 
-    # --- tendencies + first guess (cloudsc2.F90:601-618)
+    # --- tendencies + first guess (:601-618)
     def tend(condl, condi, rfreeze):
         dqdt = -(condl + condi) + (plude + zevapr + zevaps) * zgdp
         dtdt = (
@@ -275,7 +242,7 @@ def _level_kernel(
     zqp1 = zqp1 + ptsphy * zdqdt
     zqold = zqp1
 
-    # --- inlined saturation adjustment (cloudsc2.F90:628-669)
+    # --- inlined saturation adjustment (:628-669)
     liquid = ztp1 > cst.rtt
     z3es = jnp.where(liquid, thf.r3les, thf.r3ies)
     z4es = jnp.where(liquid, thf.r4les, thf.r4ies)
@@ -292,7 +259,7 @@ def _level_kernel(
         ztp1 = ztp1 + zaldcp * cond1
         zqp1 = zqp1 - cond1
 
-    # --- post-adjustment accounting (cloudsc2.F90:672-692)
+    # --- post-adjustment accounting (:672-692)
     zdq = jnp.maximum(0.0, zqold - zqp1)
     zdr2 = zcons2 * zdp * zdq
     cold2 = ztp1 < cst.rtt
@@ -306,18 +273,72 @@ def _level_kernel(
 
     zdqdt, zdtdt = tend(zcondl, zcondi, zrfreeze)
 
-    # --- outputs + carry (cloudsc2.F90:694-723)
-    tent_ref[0, 0] = zdtdt
-    tenq_ref[0, 0] = zdqdt
-    tenl_ref[0, 0] = (zqlwc - zl) * zqtmst
-    teni_ref[0, 0] = (zqiwc - zi) * zqtmst
-    pclc_ref[0, 0] = pclc
-    pcov_ref[0, 0] = pcov
-    rfln_ref[0, 0] = zrfln
-    sfln_ref[0, 0] = zsfln
+    outputs = (
+        zdtdt,
+        zdqdt,
+        (zqlwc - zl) * zqtmst,
+        (zqiwc - zi) * zqtmst,
+        pclc,
+        pcov,
+        zrfln,
+        zsfln,
+    )
+    return outputs, (zrfln, zsfln, zcovptot)
+
+
+def _stream_kernel(*refs, params: Params, ldrain1d: bool):
+    """Grid (nb, nlev): one level tile per step, carry in VMEM scratch."""
+    (ceta_ref, zscalm_ref, notlast_ref, *rest) = refs
+    lev_refs = rest[:N_LEVEL_FIELDS]
+    ztrpaus_ref, paphsfc_ref = rest[N_LEVEL_FIELDS : N_LEVEL_FIELDS + 2]
+    out_refs = rest[N_LEVEL_FIELDS + 2 : N_LEVEL_FIELDS + 2 + N_OUTPUTS]
+    rfl_s, sfl_s, cov_s = rest[N_LEVEL_FIELDS + 2 + N_OUTPUTS :]
+
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        rfl_s[...] = jnp.zeros_like(rfl_s)
+        sfl_s[...] = jnp.zeros_like(sfl_s)
+        cov_s[...] = jnp.zeros_like(cov_s)
+
+    scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
+    fields = tuple(r[0, 0] for r in lev_refs)
+    cols = (ztrpaus_ref[0], paphsfc_ref[0])
+    carry = (rfl_s[...], sfl_s[...], cov_s[...])
+
+    outputs, (zrfln, zsfln, zcovptot) = _level_physics(
+        params, ldrain1d, scalars, fields, cols, carry
+    )
+    for r, val in zip(out_refs, outputs):
+        r[0, 0] = val
     rfl_s[...] = zrfln
     sfl_s[...] = zsfln
     cov_s[...] = zcovptot
+
+
+def _resident_kernel(*refs, params: Params, ldrain1d: bool, nlev: int):
+    """Grid (nb,): all levels VMEM-resident, fori_loop over levels."""
+    (ceta_ref, zscalm_ref, notlast_ref, *rest) = refs
+    lev_refs = rest[:N_LEVEL_FIELDS]
+    ztrpaus_ref, paphsfc_ref = rest[N_LEVEL_FIELDS : N_LEVEL_FIELDS + 2]
+    out_refs = rest[N_LEVEL_FIELDS + 2 : N_LEVEL_FIELDS + 2 + N_OUTPUTS]
+
+    cols = (ztrpaus_ref[0], paphsfc_ref[0])
+    shape = ztrpaus_ref.shape[1:]  # (S, 128)
+    zero = jnp.zeros(shape, ztrpaus_ref.dtype)
+
+    def body(k, carry):
+        scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
+        fields = tuple(r[0, k] for r in lev_refs)
+        outputs, new_carry = _level_physics(
+            params, ldrain1d, scalars, fields, cols, carry
+        )
+        for r, val in zip(out_refs, outputs):
+            r[0, k] = val
+        return new_carry
+
+    jax.lax.fori_loop(0, nlev, body, (zero, zero, zero))
 
 
 def cloudsc2_pallas(
@@ -326,14 +347,19 @@ def cloudsc2_pallas(
     *,
     ldrain1d: bool = False,
     sublanes: int = 8,
+    mode: str = "stream",
     interpret: bool = False,
 ) -> Cloudsc2Outputs:
     """Fused-kernel CLOUDSC2; drop-in for :func:`cloudsc2` (f32 path).
 
     Columns are padded to a multiple of ``sublanes*128`` (padding columns
     replicate column 0, then are stripped — inputs are tile-replicated
-    upstream anyway, expand_mod.F90 semantics).
+    upstream anyway, expand_mod.F90 semantics).  ``mode`` selects the
+    schedule (see module docstring).
     """
+    if mode not in ("stream", "resident"):
+        raise ValueError(f"unknown mode {mode!r}")
+
     # note: field names pl/pi would shadow `pallas as pl` — suffix them
     (paph, pap, pq, pqs, pt, pl_, pi_, plude, plu, pmfu, pmfd,
      ten_t, ten_q, ten_l, ten_i, psupsat) = [jnp.asarray(x) for x in inputs]
@@ -363,51 +389,80 @@ def cloudsc2_pallas(
     zscalm = (_ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2).astype(dtype)
     notlast = (jnp.arange(nlev) < nlev - 1).astype(jnp.int32)
 
-    def to_blocks(x):  # (ncol, nlev) -> (nlev, nb, S, 128)
-        x = padcols(x)
-        return x.T.reshape(nlev, nb, sublanes, 128)
+    if mode == "stream":
+        def to_blocks(x):  # (ncol, nlev) -> (nlev, nb, S, 128)
+            return padcols(x).T.reshape(nlev, nb, sublanes, 128)
+
+        lev_spec = pl.BlockSpec(
+            (1, 1, sublanes, 128), lambda b, k: (k, b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = lev_spec
+        col_spec = pl.BlockSpec(
+            (1, sublanes, 128), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((nlev, nb, sublanes, 128), dtype)
+        grid = (nb, nlev)
+        kernel = functools.partial(
+            _stream_kernel, params=params, ldrain1d=ldrain1d
+        )
+        scratch = [pltpu.VMEM((sublanes, 128), dtype)] * 3
+
+        def from_blocks(x):  # (nlev, nb, S, 128) -> (ncol, nlev)
+            return x.reshape(nlev, nb * bc).T[:ncol]
+
+    else:  # resident
+        def to_blocks(x):  # (ncol, nlev) -> (nb, nlev, S, 128)
+            return (
+                padcols(x).reshape(nb, sublanes, 128, nlev)
+                .transpose(0, 3, 1, 2)
+            )
+
+        lev_spec = pl.BlockSpec(
+            (1, nlev, sublanes, 128), lambda b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = lev_spec
+        col_spec = pl.BlockSpec(
+            (1, sublanes, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((nb, nlev, sublanes, 128), dtype)
+        grid = (nb,)
+        kernel = functools.partial(
+            _resident_kernel, params=params, ldrain1d=ldrain1d, nlev=nlev
+        )
+        scratch = []
+
+        def from_blocks(x):  # (nb, nlev, S, 128) -> (ncol, nlev)
+            return x.transpose(0, 2, 3, 1).reshape(nb * bc, nlev)[:ncol]
+
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (nlev,1) array
 
     lev_fields = [ztp1, zqp1, zl, zi, pap, pqs, plude, plu_next, pmfu, pmfd, zdp]
     lev_blocks = [to_blocks(x) for x in lev_fields]
     ztrpaus_b = padcols(ztrpaus).reshape(nb, sublanes, 128)
     paphsfc_b = padcols(paph_sfc).reshape(nb, sublanes, 128)
 
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (nlev,1) array
-    lev_spec = pl.BlockSpec(
-        (1, 1, sublanes, 128), lambda b, k: (k, b, 0, 0), memory_space=pltpu.VMEM
-    )
-    col_spec = pl.BlockSpec(
-        (1, sublanes, 128), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (1, 1, sublanes, 128), lambda b, k: (k, b, 0, 0), memory_space=pltpu.VMEM
-    )
-    out_shape = jax.ShapeDtypeStruct((nlev, nb, sublanes, 128), dtype)
-
     flops_per_level_col = 292  # SURVEY §3.5
     cost = pl.CostEstimate(
         flops=flops_per_level_col * nlev * nb * bc,
-        bytes_accessed=(len(lev_fields) + 8) * nlev * nb * bc * dtype.itemsize,
+        bytes_accessed=(N_LEVEL_FIELDS + N_OUTPUTS) * nlev * nb * bc * dtype.itemsize,
         transcendentals=10 * nlev * nb * bc,
     )
 
-    kernel = functools.partial(_level_kernel, params=params, ldrain1d=ldrain1d)
     outs = pl.pallas_call(
         kernel,
-        grid=(nb, nlev),
+        grid=grid,
         in_specs=[smem_spec] * 3 + [lev_spec] * len(lev_blocks) + [col_spec] * 2,
-        out_specs=[out_spec] * 8,
-        out_shape=[out_shape] * 8,
-        scratch_shapes=[pltpu.VMEM((sublanes, 128), dtype)] * 3,
+        out_specs=[out_spec] * N_OUTPUTS,
+        out_shape=[out_shape] * N_OUTPUTS,
+        scratch_shapes=scratch,
         cost_estimate=cost,
         interpret=interpret,
     )(
         ceta.reshape(nlev, 1), zscalm.reshape(nlev, 1), notlast.reshape(nlev, 1),
         *lev_blocks, ztrpaus_b, paphsfc_b,
     )
-
-    def from_blocks(x):  # (nlev, nb, S, 128) -> (ncol, nlev)
-        return x.reshape(nlev, nb * bc).T[:ncol]
 
     tent, tenq, tenl, teni, pclc, pcov, rfln, sfln = [from_blocks(o) for o in outs]
 
