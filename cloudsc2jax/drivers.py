@@ -47,6 +47,39 @@ def run_nl(
     return fn(inputs)
 
 
+def run_tlad(
+    inputs: Cloudsc2Inputs,
+    params: Params,
+    *,
+    lregcl: bool = True,
+    ldrain1d: bool = False,
+    remat: bool = False,
+):
+    """One fused NL+TL+AD sweep (the production 4D-Var work unit).
+
+    Runs the forward model, propagates the canonical 0.01·x increments
+    through the tangent-linear, and pulls the resulting output
+    perturbations back through the adjoint — the same work the AD driver
+    performs per block (cloudsc_driver_ad_mod.F90:158-237), as a single
+    jitted program.  Returns (outputs, d_outputs, input_adjoints).
+    """
+    from functools import partial as _partial
+
+    f = _partial(cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d)
+    if remat:
+        f = jax.checkpoint(f, policy=jax.checkpoint_policies.nothing_saveable)
+
+    @jax.jit
+    def step(i):
+        di = jax.tree.map(lambda x: 0.01 * x, i)
+        out, dout = jax.jvp(f, (i,), (di,))
+        _, vjp_fn = jax.vjp(f, i)
+        (adj,) = vjp_fn(dout)
+        return out, dout, adj
+
+    return step(inputs)
+
+
 # ------------------------------------------------------------------ Taylor
 @dataclasses.dataclass
 class TaylorResult:

@@ -42,3 +42,31 @@ def test_adjoint_zero_seed_gives_zero(state, inputs):
     (xbar,) = vjp_fn(zero_bar)
     for a in xbar:
         assert not np.any(np.asarray(a))
+
+
+def test_run_tlad_consistency(state, inputs):
+    """The fused NL+TL+AD work unit returns mutually consistent pieces."""
+    from cloudsc2jax.drivers import run_tlad
+
+    out, dout, adj = run_tlad(inputs, state.params, lregcl=True)
+    n1 = sum(float(np.sum(np.asarray(y) ** 2)) for y in dout)
+    di = jax.tree.map(lambda x: 0.01 * np.asarray(x), inputs)
+    n2 = sum(
+        float(np.sum(np.asarray(a) * np.asarray(b))) for a, b in zip(di, adj)
+    )
+    assert abs(n1 - n2) <= 1e-9 * abs(n1)
+
+
+def test_remat_matches_stored(state, inputs):
+    """remat=True recomputes the forward sweep but must give identical
+    adjoints (the FLOPs-for-memory trade, SURVEY §5.4)."""
+    from cloudsc2jax.tlad import cloudsc2_vjp
+
+    rng = np.random.default_rng(3)
+    out1, vjp1 = cloudsc2_vjp(inputs, state.params, remat=False)
+    out2, vjp2 = cloudsc2_vjp(inputs, state.params, remat=True)
+    ybar = jax.tree.map(lambda y: np.asarray(rng.standard_normal(np.shape(y))), out1)
+    (a1,) = vjp1(ybar)
+    (a2,) = vjp2(ybar)
+    for x, y in zip(a1, a2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-300)
