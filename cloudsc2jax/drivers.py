@@ -47,6 +47,28 @@ def run_nl(
     return fn(inputs)
 
 
+def map_columns(fn, tree, nproma: int):
+    """Apply ``fn`` over NPROMA-sized column blocks with ``lax.map``.
+
+    The TPU revival of the reference's NPROMA blocking
+    (cloudsc_driver_mod.F90:82): not for vectorisation — XLA handles that
+    — but for *working-set control*: reverse-mode over the level scan
+    stores per-level residuals proportional to the column count, so very
+    large batches run as sequential blocks.  Column count must divide by
+    ``nproma``.
+    """
+    leaves = jax.tree.leaves(tree)
+    ncol = leaves[0].shape[0]
+    if ncol % nproma:
+        raise ValueError(f"ncol={ncol} not divisible by nproma={nproma}")
+
+    blocked = jax.tree.map(
+        lambda x: x.reshape(ncol // nproma, nproma, *x.shape[1:]), tree
+    )
+    out = jax.lax.map(fn, blocked)
+    return jax.tree.map(lambda x: x.reshape(ncol, *x.shape[2:]), out)
+
+
 def run_tlad(
     inputs: Cloudsc2Inputs,
     params: Params,
@@ -54,6 +76,7 @@ def run_tlad(
     lregcl: bool = True,
     ldrain1d: bool = False,
     remat: bool = False,
+    nproma: Optional[int] = None,
 ):
     """One fused NL+TL+AD sweep (the production 4D-Var work unit).
 
@@ -65,11 +88,11 @@ def run_tlad(
     """
     from functools import partial as _partial
 
-    f = _partial(cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d)
-    if remat:
-        f = jax.checkpoint(f, policy=jax.checkpoint_policies.nothing_saveable)
+    f = _partial(
+        cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d,
+        remat_level=remat,
+    )
 
-    @jax.jit
     def step(i):
         di = jax.tree.map(lambda x: 0.01 * x, i)
         out, dout = jax.jvp(f, (i,), (di,))
@@ -77,7 +100,9 @@ def run_tlad(
         (adj,) = vjp_fn(dout)
         return out, dout, adj
 
-    return step(inputs)
+    if nproma is not None:
+        return jax.jit(lambda i: map_columns(step, i, nproma))(inputs)
+    return jax.jit(step)(inputs)
 
 
 # ------------------------------------------------------------------ Taylor

@@ -1,28 +1,29 @@
 """Fused Pallas TPU kernels for the nonlinear CLOUDSC2 sweep.
 
-Two schedules of the identical per-level physics (cf. SURVEY §7 step 5 and
-the Pallas TPU guide's tiling rules), selected with ``mode``:
+Schedule (cf. SURVEY §7 step 5 and the Pallas TPU guide):
 
-* ``"stream"`` — grid ``(column_blocks, nlev)`` with the level axis
-  innermost.  TPU grids execute sequentially, so the vertical recurrence
-  (rain/snow fluxes + max-overlap fraction, cloudsc2.F90:339,475-481,
-  720-723) is carried in VMEM scratch across level steps; every per-level
-  field is streamed HBM→VMEM once and double-buffered by the Pallas
-  pipeline.  Minimal VMEM, one grid step per (block, level).
-* ``"resident"`` — grid ``(column_blocks,)`` with all 137 levels of the
-  block resident in VMEM and a ``fori_loop`` over levels inside the
-  kernel.  Amortises the per-grid-step overhead over the whole column
-  sweep; VMEM holds ~19 × nlev × S × 128 × 4B per block, so ``sublanes``
-  must be small (2-4) at nlev=137.
+* Columns are tiled ``(S, 128)`` — whole VPU tiles.  The grid is
+  ``(column_blocks, nlev)`` with the **level axis innermost**: TPU grids
+  execute sequentially, so the vertical recurrence (rain/snow fluxes +
+  max-overlap fraction, cloudsc2.F90:339,475-481,720-723) is carried in
+  VMEM scratch across level steps, while the Pallas pipeline
+  double-buffers every level tile HBM→VMEM.
+* The *raw* model fields stream straight into the kernel — the
+  first-guess state, layer thickness and latent-heat factors are computed
+  in-register (cloudsc2.F90:253-277), and the off-level reads PAPH(k+1) /
+  PLU(k+1) (:272, :435) are expressed as shifted BlockSpec index maps on
+  the same HBM buffers, so no derived field is ever materialised.
+* ``levels_major=True`` accepts fields laid out ``(nlev, ncol)`` — the
+  HDF5 storage order (SURVEY Appendix A) — in which case blocking is a
+  pure reshape and the XLA pre/post passes contain no transposes at all.
+* An optional ``"resident"`` mode keeps all levels of a column block in
+  VMEM and loops in-kernel; measured slower than the streaming schedule
+  on v5e (fewer, larger blocks pipeline worse), kept for study.
 
-Everything level-local that XLA fuses well (first-guess state, dp,
-the tropopause scan) is computed *outside* the kernel; the kernel body
-holds only the transcendental-heavy per-level physics.  The kernels are
-the f32 performance path (the -DSINGLE analogue, parkind1.F90:40-44); f64
-validation uses the pure-JAX kernel, cross-checked in tests.
-
-Semantics are identical to :func:`cloudsc2jax.physics.cloudsc2.cloudsc2` —
-one source of truth for the math; this file only re-schedules it.
+This is the f32 performance path (the -DSINGLE analogue,
+parkind1.F90:40-44); f64 validation uses the pure-JAX kernel.  Semantics
+are identical to :func:`cloudsc2jax.physics.cloudsc2.cloudsc2` — one
+source of truth for the math; this file only re-schedules it.
 """
 
 from __future__ import annotations
@@ -44,33 +45,39 @@ from ..physics.cloudsc2 import (
     _ZQMAX,
     _ZSCAL,
     _crit_rel_humidity,
-    _tropopause_eta,
 )
 
 __all__ = ["cloudsc2_pallas"]
 
-N_LEVEL_FIELDS = 11  # ztp1, zqp1, zl, zi, pap, pqs, plude, plu_next, pmfu, pmfd, zdp
+# raw per-level streams fed to the kernel, in order
+_LEVEL_FIELDS = (
+    "pt", "pq", "pqs", "pap", "pl", "pi", "plude", "pmfu", "pmfd",
+    "ten_t", "ten_q", "ten_l", "ten_i", "psupsat",
+)
+N_LEVEL_FIELDS = len(_LEVEL_FIELDS)  # + plu(k+1), paph(k), paph(k+1)
 N_OUTPUTS = 8  # tent, tenq, tenl, teni, pclc, pcov, rfln, sfln
 
 
 def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry):
     """One level of CLOUDSC2 on an (S, 128) column tile.
 
-    ``scalars`` = (ceta_k, zscalm_k, not_last); ``fields`` = the 11
-    level-varying tiles; ``cols`` = (ztrpaus, paph_sfc) column constants;
-    ``carry`` = (zrfl, zsfl, zcovptot).  Returns (outputs, new_carry).
-    Line references cite src/cloudsc2_nl/cloudsc2.F90.
+    ``scalars`` = (ceta_k, zscalm_k, not_last); ``fields`` = the 14 raw
+    level tiles + (plu_k1, paph_lo, paph_hi); ``cols`` = (ztrpaus,
+    paph_sfc); ``carry`` = (zrfl, zsfl, zcovptot).  Returns
+    (outputs, new_carry).  Line references cite
+    src/cloudsc2_nl/cloudsc2.F90.
     """
     cst, thf = params.yomcst, params.yoethf
     cldp, phli, phnc = params.yrecldp, params.yrephli, params.yophnc
     ptsphy = params.ptsphy
 
     ceta_k, zscalm_k, not_last = scalars
-    (ztp1, zqp1, zl, zi, pap, pqs, plude, plu_k1, pmfu, pmfd, zdp) = fields
+    (pt, pq, pqs, pap, pl_, pi_, plude, pmfu, pmfd,
+     ten_t, ten_q, ten_l, ten_i, psupsat, plu_k1, paph_lo, paph_hi) = fields
     ztrpaus, paph_sfc = cols
     zrfl, zsfl, zcovptot = carry
 
-    one = jnp.asarray(1.0, ztp1.dtype)
+    one = jnp.asarray(1.0, pt.dtype)
 
     zckcodtl = 2.0 * cldp.rkconv * ptsphy
     zckcodti = 5.0 * cldp.rkconv * ptsphy
@@ -78,6 +85,13 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
     zcons3 = cst.rlvtt / cst.rcpd
     zmeltp2 = cst.rtt + 2.0
     zqtmst = 1.0 / ptsphy
+
+    # first-guess state (:253-260) and layer thickness (:272)
+    ztp1 = pt + ptsphy * ten_t
+    zqp1 = pq + ptsphy * ten_q + psupsat
+    zl = pl_ + ptsphy * ten_l
+    zi = pi_ + ptsphy * ten_i
+    zdp = paph_hi - paph_lo
 
     # latent-heat factors (:272-277)
     zzz = 1.0 / (cst.rcpd + cst.rcpd * thf.rvtmp2 * zqp1)
@@ -289,10 +303,11 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
 def _stream_kernel(*refs, params: Params, ldrain1d: bool):
     """Grid (nb, nlev): one level tile per step, carry in VMEM scratch."""
     (ceta_ref, zscalm_ref, notlast_ref, *rest) = refs
-    lev_refs = rest[:N_LEVEL_FIELDS]
-    ztrpaus_ref, paphsfc_ref = rest[N_LEVEL_FIELDS : N_LEVEL_FIELDS + 2]
-    out_refs = rest[N_LEVEL_FIELDS + 2 : N_LEVEL_FIELDS + 2 + N_OUTPUTS]
-    rfl_s, sfl_s, cov_s = rest[N_LEVEL_FIELDS + 2 + N_OUTPUTS :]
+    nf = N_LEVEL_FIELDS + 3  # + plu_k1, paph_lo, paph_hi
+    lev_refs = rest[:nf]
+    ztrpaus_ref, paphsfc_ref = rest[nf : nf + 2]
+    out_refs = rest[nf + 2 : nf + 2 + N_OUTPUTS]
+    rfl_s, sfl_s, cov_s = rest[nf + 2 + N_OUTPUTS :]
 
     k = pl.program_id(1)
 
@@ -318,11 +333,17 @@ def _stream_kernel(*refs, params: Params, ldrain1d: bool):
 
 
 def _resident_kernel(*refs, params: Params, ldrain1d: bool, nlev: int):
-    """Grid (nb,): all levels VMEM-resident, fori_loop over levels."""
+    """Grid (nb,): all levels VMEM-resident, fori_loop over levels.
+
+    Measured slower than the streaming schedule on v5e; retained for
+    block-size studies.
+    """
     (ceta_ref, zscalm_ref, notlast_ref, *rest) = refs
-    lev_refs = rest[:N_LEVEL_FIELDS]
-    ztrpaus_ref, paphsfc_ref = rest[N_LEVEL_FIELDS : N_LEVEL_FIELDS + 2]
-    out_refs = rest[N_LEVEL_FIELDS + 2 : N_LEVEL_FIELDS + 2 + N_OUTPUTS]
+    nf = N_LEVEL_FIELDS
+    lev_refs = rest[:nf]
+    plu_ref, paph_ref = rest[nf : nf + 2]
+    ztrpaus_ref, paphsfc_ref = rest[nf + 2 : nf + 4]
+    out_refs = rest[nf + 4 : nf + 4 + N_OUTPUTS]
 
     cols = (ztrpaus_ref[0], paphsfc_ref[0])
     shape = ztrpaus_ref.shape[1:]  # (S, 128)
@@ -330,7 +351,12 @@ def _resident_kernel(*refs, params: Params, ldrain1d: bool, nlev: int):
 
     def body(k, carry):
         scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
-        fields = tuple(r[0, k] for r in lev_refs)
+        k1 = jnp.minimum(k + 1, nlev - 1)
+        fields = tuple(r[0, k] for r in lev_refs) + (
+            plu_ref[0, k1],
+            paph_ref[0, k],
+            paph_ref[0, k + 1],
+        )
         outputs, new_carry = _level_physics(
             params, ldrain1d, scalars, fields, cols, carry
         )
@@ -341,119 +367,144 @@ def _resident_kernel(*refs, params: Params, ldrain1d: bool, nlev: int):
     jax.lax.fori_loop(0, nlev, body, (zero, zero, zero))
 
 
+def _tropopause_eta_lm(ztp1_lm, ceta):
+    """Tropopause eta for (nlev, ncol) layout (cloudsc2.F90:314-326)."""
+    mask = (
+        (ceta[:-1] > 0.1)[:, None]
+        & (ceta[:-1] < 0.4)[:, None]
+        & (ztp1_lm[:-1] > ztp1_lm[1:])
+    )
+    cand = jnp.where(mask, jax.lax.stop_gradient(ceta[:-1])[:, None], 0.1)
+    return jnp.max(cand, axis=0)
+
+
 def cloudsc2_pallas(
     inputs: Cloudsc2Inputs,
     params: Params,
     *,
     ldrain1d: bool = False,
-    sublanes: int = 8,
+    sublanes: int = 32,
     mode: str = "stream",
+    levels_major: bool = False,
     interpret: bool = False,
 ) -> Cloudsc2Outputs:
     """Fused-kernel CLOUDSC2; drop-in for :func:`cloudsc2` (f32 path).
 
-    Columns are padded to a multiple of ``sublanes*128`` (padding columns
-    replicate column 0, then are stripped — inputs are tile-replicated
-    upstream anyway, expand_mod.F90 semantics).  ``mode`` selects the
-    schedule (see module docstring).
+    ``levels_major=True`` expects each input field shaped ``(nlev, ncol)``
+    (HDF5 storage order) and returns outputs in the same layout — the
+    zero-transpose fast path.  Default accepts/returns the framework's
+    ``(ncol, nlev)`` layout.  Columns are padded to a multiple of
+    ``sublanes*128`` (padding replicates column 0 — inputs are
+    tile-replicated upstream anyway, expand_mod.F90 semantics).
     """
     if mode not in ("stream", "resident"):
         raise ValueError(f"unknown mode {mode!r}")
 
-    # note: field names pl/pi would shadow `pallas as pl` — suffix them
-    (paph, pap, pq, pqs, pt, pl_, pi_, plude, plu, pmfu, pmfd,
-     ten_t, ten_q, ten_l, ten_i, psupsat) = [jnp.asarray(x) for x in inputs]
-    dtype = pt.dtype
-    ncol, nlev = pt.shape
+    arrs = {k: jnp.asarray(v) for k, v in inputs._asdict().items()}
+    if not levels_major:
+        arrs = {k: v.T for k, v in arrs.items()}
+    # from here on everything is (nlev[,+1], ncol)
+    nlev, ncol = arrs["pt"].shape
+    dtype = arrs["pt"].dtype
     ptsphy = params.ptsphy
 
     bc = sublanes * 128
     nb = max(1, math.ceil(ncol / bc))
     npad = nb * bc - ncol
 
-    def padcols(x):
+    def padcols(x):  # (..., ncol) -> (..., nb*bc)
         if npad == 0:
             return x
-        return jnp.concatenate([x, jnp.broadcast_to(x[:1], (npad,) + x.shape[1:])], 0)
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[..., :1], x.shape[:-1] + (npad,))], -1
+        )
 
-    # ---- precompute level-local derived fields (XLA-fused elementwise)
-    ztp1 = pt + ptsphy * ten_t
-    zqp1 = pq + ptsphy * ten_q + psupsat
-    zl = pl_ + ptsphy * ten_l
-    zi = pi_ + ptsphy * ten_i
-    zdp = paph[:, 1:] - paph[:, :-1]
-    plu_next = jnp.concatenate([plu[:, 1:], jnp.zeros((ncol, 1), dtype)], axis=1)
     ceta = jnp.asarray(params.ceta, dtype)
-    ztrpaus = _tropopause_eta(ztp1, ceta)
-    paph_sfc = paph[:, nlev]
+    ztp1 = arrs["pt"] + ptsphy * arrs["ten_t"]
+    ztrpaus = _tropopause_eta_lm(ztp1, ceta)
+    paph_sfc = arrs["paph"][nlev]
     zscalm = (_ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2).astype(dtype)
     notlast = (jnp.arange(nlev) < nlev - 1).astype(jnp.int32)
 
-    if mode == "stream":
-        def to_blocks(x):  # (ncol, nlev) -> (nlev, nb, S, 128)
-            return padcols(x).T.reshape(nlev, nb, sublanes, 128)
+    def to_blocks(x):  # (L, ncol) -> (L, nb, S, 128): pure reshape
+        L = x.shape[0]
+        return padcols(x).reshape(L, nb, sublanes, 128)
 
-        lev_spec = pl.BlockSpec(
-            (1, 1, sublanes, 128), lambda b, k: (k, b, 0, 0),
+    lev_blocks = [to_blocks(arrs[name]) for name in _LEVEL_FIELDS]
+    plu_b = to_blocks(arrs["plu"])
+    paph_b = to_blocks(arrs["paph"])  # (nlev+1, nb, S, 128)
+    ztrpaus_b = padcols(ztrpaus).reshape(nb, sublanes, 128)
+    paphsfc_b = padcols(paph_sfc).reshape(nb, sublanes, 128)
+
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (nlev,1) array
+
+    if mode == "stream":
+        blk = (1, 1, sublanes, 128)
+        lev_spec = pl.BlockSpec(blk, lambda b, k: (k, b, 0, 0), memory_space=pltpu.VMEM)
+        # off-level reads as shifted index maps on the same buffers
+        plu_spec = pl.BlockSpec(
+            blk,
+            lambda b, k: (jnp.minimum(k + 1, notlast.shape[0] - 1), b, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        out_spec = lev_spec
+        paph_lo_spec = lev_spec
+        paph_hi_spec = pl.BlockSpec(
+            blk, lambda b, k: (k + 1, b, 0, 0), memory_space=pltpu.VMEM
+        )
         col_spec = pl.BlockSpec(
             (1, sublanes, 128), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM
         )
+        out_spec = lev_spec
         out_shape = jax.ShapeDtypeStruct((nlev, nb, sublanes, 128), dtype)
         grid = (nb, nlev)
-        kernel = functools.partial(
-            _stream_kernel, params=params, ldrain1d=ldrain1d
-        )
+        kernel = functools.partial(_stream_kernel, params=params, ldrain1d=ldrain1d)
         scratch = [pltpu.VMEM((sublanes, 128), dtype)] * 3
-
-        def from_blocks(x):  # (nlev, nb, S, 128) -> (ncol, nlev)
-            return x.reshape(nlev, nb * bc).T[:ncol]
-
+        in_specs = (
+            [smem_spec] * 3
+            + [lev_spec] * N_LEVEL_FIELDS
+            + [plu_spec, paph_lo_spec, paph_hi_spec]
+            + [col_spec] * 2
+        )
+        operands = (*lev_blocks, plu_b, paph_b, paph_b, ztrpaus_b, paphsfc_b)
     else:  # resident
-        def to_blocks(x):  # (ncol, nlev) -> (nb, nlev, S, 128)
-            return (
-                padcols(x).reshape(nb, sublanes, 128, nlev)
-                .transpose(0, 3, 1, 2)
-            )
-
         lev_spec = pl.BlockSpec(
-            (1, nlev, sublanes, 128), lambda b: (b, 0, 0, 0),
+            (nlev, 1, sublanes, 128), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM
+        )
+        plu_spec = lev_spec
+        paph_spec = pl.BlockSpec(
+            (nlev + 1, 1, sublanes, 128), lambda b: (0, b, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        out_spec = lev_spec
         col_spec = pl.BlockSpec(
             (1, sublanes, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         )
-        out_shape = jax.ShapeDtypeStruct((nb, nlev, sublanes, 128), dtype)
+        out_spec = lev_spec
+        out_shape = jax.ShapeDtypeStruct((nlev, nb, sublanes, 128), dtype)
         grid = (nb,)
         kernel = functools.partial(
             _resident_kernel, params=params, ldrain1d=ldrain1d, nlev=nlev
         )
         scratch = []
-
-        def from_blocks(x):  # (nb, nlev, S, 128) -> (ncol, nlev)
-            return x.transpose(0, 2, 3, 1).reshape(nb * bc, nlev)[:ncol]
-
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (nlev,1) array
-
-    lev_fields = [ztp1, zqp1, zl, zi, pap, pqs, plude, plu_next, pmfu, pmfd, zdp]
-    lev_blocks = [to_blocks(x) for x in lev_fields]
-    ztrpaus_b = padcols(ztrpaus).reshape(nb, sublanes, 128)
-    paphsfc_b = padcols(paph_sfc).reshape(nb, sublanes, 128)
+        in_specs = (
+            [smem_spec] * 3
+            + [lev_spec] * N_LEVEL_FIELDS
+            + [plu_spec, paph_spec]
+            + [col_spec] * 2
+        )
+        operands = (*lev_blocks, plu_b, paph_b, ztrpaus_b, paphsfc_b)
 
     flops_per_level_col = 292  # SURVEY §3.5
     cost = pl.CostEstimate(
         flops=flops_per_level_col * nlev * nb * bc,
-        bytes_accessed=(N_LEVEL_FIELDS + N_OUTPUTS) * nlev * nb * bc * dtype.itemsize,
+        bytes_accessed=(N_LEVEL_FIELDS + 3 + N_OUTPUTS)
+        * nlev * nb * bc * dtype.itemsize,
         transcendentals=10 * nlev * nb * bc,
     )
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem_spec] * 3 + [lev_spec] * len(lev_blocks) + [col_spec] * 2,
+        in_specs=in_specs,
         out_specs=[out_spec] * N_OUTPUTS,
         out_shape=[out_shape] * N_OUTPUTS,
         scratch_shapes=scratch,
@@ -461,15 +512,18 @@ def cloudsc2_pallas(
         interpret=interpret,
     )(
         ceta.reshape(nlev, 1), zscalm.reshape(nlev, 1), notlast.reshape(nlev, 1),
-        *lev_blocks, ztrpaus_b, paphsfc_b,
+        *operands,
     )
+
+    def from_blocks(x):  # (nlev, nb, S, 128) -> (nlev, ncol): pure reshape
+        return x.reshape(nlev, nb * bc)[:, :ncol]
 
     tent, tenq, tenl, teni, pclc, pcov, rfln, sfln = [from_blocks(o) for o in outs]
 
-    top = jnp.zeros((ncol, 1), dtype)
-    pfplsl = jnp.concatenate([top, rfln], axis=1)
-    pfplsn = jnp.concatenate([top, sfln], axis=1)
-    return Cloudsc2Outputs(
+    top = jnp.zeros((1, ncol), dtype)
+    pfplsl = jnp.concatenate([top, rfln], axis=0)
+    pfplsn = jnp.concatenate([top, sfln], axis=0)
+    out = Cloudsc2Outputs(
         tenl_t=tent,
         tenl_q=tenq,
         tenl_l=tenl,
@@ -481,3 +535,6 @@ def cloudsc2_pallas(
         pfhpsn=-pfplsn * params.yomcst.rlstt,
         pcovptot=pcov,
     )
+    if not levels_major:
+        out = Cloudsc2Outputs(*(x.T for x in out))
+    return out

@@ -132,6 +132,7 @@ def cloudsc2(
     *,
     lregcl: bool = False,
     ldrain1d: bool = False,
+    remat_level: bool = False,
 ) -> Cloudsc2Outputs:
     """Nonlinear CLOUDSC2 over a batch of columns.
 
@@ -140,6 +141,12 @@ def cloudsc2(
     adjoints under ``jax.jvp``/``jax.vjp``, matching YRNCL%LREGCL).
     ``ldrain1d`` mirrors the LDRAIN1D argument (all reference drivers pass
     .FALSE., cloudsc_driver_mod.F90:61).
+
+    ``remat_level`` checkpoints the level-scan body: reverse-mode then
+    stores only each level's inputs and carries instead of every
+    intermediate (the reference AD stores ~40 (KLON,KLEV) trajectory
+    arrays, cloudsc2ad.F90:228-292 — this trades those for recomputation,
+    cutting peak adjoint memory by an order of magnitude at 137 levels).
     """
     cst, thf = params.yomcst, params.yoethf
     cldp, phli, phnc = params.yrecldp, params.yrephli, params.yophnc
@@ -454,7 +461,8 @@ def cloudsc2(
     )
     zero = jnp.zeros((ncol,), dtype)
     carry0 = (zero, zero, zero)
-    _, ys = jax.lax.scan(level_step, carry0, xs)
+    step = jax.checkpoint(level_step) if remat_level else level_step
+    _, ys = jax.lax.scan(step, carry0, xs)
     (tent, tenq, tenl, teni, pclc, pcovptot, rfln, sfln) = ys
 
     top = jnp.zeros((1, ncol), dtype)

@@ -73,9 +73,23 @@ class Cloudsc2State:
             return self.fields
         return {k: np.asarray(v, dtype) for k, v in self.fields.items()}
 
-    def kernel_inputs(self, pqs=None, dtype=None) -> Cloudsc2Inputs:
+    def kernel_inputs(
+        self, pqs=None, dtype=None, levels_major: bool = False
+    ) -> Cloudsc2Inputs:
         """Assemble the 16 differentiated kernel inputs; PQS defaults to
-        SATUR of the state (cloudsc_driver_mod.F90:91-92)."""
+        SATUR of the state (cloudsc_driver_mod.F90:91-92).
+
+        ``levels_major=True`` returns fields shaped ``(nlev, ncol)`` (the
+        HDF5 storage order) for the zero-transpose Pallas fast path.
+        """
+        inp = self._kernel_inputs_cm(pqs, dtype)
+        if levels_major:
+            inp = Cloudsc2Inputs(
+                *(np.ascontiguousarray(np.asarray(x).T) for x in inp)
+            )
+        return inp
+
+    def _kernel_inputs_cm(self, pqs=None, dtype=None) -> Cloudsc2Inputs:
         f = self._cast(dtype)
         if pqs is None:
             pqs = satur(f["PAP"], f["PT"], self.params, lphylin=True, kflag=2)
