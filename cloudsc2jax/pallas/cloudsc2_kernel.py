@@ -352,16 +352,16 @@ def _resident_kernel(*refs, params: Params, ldrain1d: bool, nlev: int):
     def body(k, carry):
         scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
         k1 = jnp.minimum(k + 1, nlev - 1)
-        fields = tuple(r[0, k] for r in lev_refs) + (
-            plu_ref[0, k1],
-            paph_ref[0, k],
-            paph_ref[0, k + 1],
+        fields = tuple(r[k, 0] for r in lev_refs) + (
+            plu_ref[k1, 0],
+            paph_ref[k, 0],
+            paph_ref[k + 1, 0],
         )
         outputs, new_carry = _level_physics(
             params, ldrain1d, scalars, fields, cols, carry
         )
         for r, val in zip(out_refs, outputs):
-            r[0, k] = val
+            r[k, 0] = val
         return new_carry
 
     jax.lax.fori_loop(0, nlev, body, (zero, zero, zero))

@@ -93,3 +93,22 @@ def test_sharded_global_reduction(mesh):
 def test_pad_columns(mesh):
     assert dist.pad_columns(100, mesh) == 104
     assert dist.pad_columns(800, mesh) == 800
+
+
+def test_map_columns_matches_unblocked(state):
+    """NPROMA-style lax.map chunking is semantics-preserving."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from cloudsc2jax.drivers import map_columns
+    from cloudsc2jax.physics.cloudsc2 import cloudsc2
+
+    inputs = state.kernel_inputs()
+    f = partial(cloudsc2, params=state.params)
+    ref = f(inputs)
+    out = jax.jit(lambda i: map_columns(f, i, nproma=25))(inputs)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-18
+        )

@@ -33,3 +33,25 @@ def test_pallas_pads_arbitrary_column_counts(state):
     out_small = cloudsc2_pallas(small, state.params, interpret=True)
     assert np.asarray(out_small.pclc).shape == (100, 137)
     assert np.isfinite(np.asarray(out_small.tenl_t)).all()
+
+
+def test_pallas_levels_major_matches(state, f32_inputs):
+    """The zero-transpose levels-major layout is a pure re-layout."""
+    ref = cloudsc2_pallas(f32_inputs, state.params, interpret=True)
+    lm_in = type(f32_inputs)(*(np.ascontiguousarray(x.T) for x in f32_inputs))
+    lm = cloudsc2_pallas(
+        lm_in, state.params, interpret=True, levels_major=True
+    )
+    for a, b in zip(lm, ref):
+        np.testing.assert_array_equal(np.asarray(a).T, np.asarray(b))
+
+
+def test_pallas_resident_mode_matches(state, f32_inputs):
+    ref = cloudsc2(f32_inputs, state.params)
+    out = cloudsc2_pallas(
+        f32_inputs, state.params, interpret=True, mode="resident", sublanes=2
+    )
+    for name, a, b in zip(out._fields, out, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 5e-6, name
