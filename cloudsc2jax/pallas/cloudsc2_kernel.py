@@ -127,7 +127,7 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
     mid = (zqt > zqcrit) & (zqt < zqsat)
     denom = zqcd - zscalm_k * (zqt - zqcrit)
     denom_safe = jnp.where(mid, denom, one)
-    ratio = jnp.where(mid, zqpd, 0.0) / denom_safe
+    ratio = jnp.where(mid, zqpd, denom_safe) / denom_safe
     pclc_mid = 1.0 - jnp.sqrt(jnp.maximum(ratio, 0.0))
     zqc_mid = (zscalm_k * zqpd + (1.0 - zscalm_k) * zqcd) * pclc_mid**2
     saturated = zqt >= zqsat
@@ -212,12 +212,12 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
         one_m_clc = jnp.where(llo2, (1.0 - pclc) ** 2, one)
         zpreclr = zprtot * zcovpclr / covptot_safe
         zqe = pqs - (pqs - zqlim) * zcovpclr / one_m_clc
-        zbeta = (
-            cst.rg
-            * cldp.rpecons
-            * (jnp.sqrt(pap / paph_sfc) / 5.09e-3 * zpreclr / covpclr_safe)
-            ** 0.5777
+        zbeta_arg = jnp.where(
+            llo2,
+            jnp.sqrt(pap / paph_sfc) / 5.09e-3 * zpreclr / covpclr_safe,
+            one,
         )
+        zbeta = cst.rg * cldp.rpecons * zbeta_arg**0.5777
         zb = ptsphy * zbeta * (pqs - zqe) / (1.0 + zbeta * ptsphy * zcorqs)
         zdtgdp = ptsphy * cst.rg / zdp
         zdpr = jnp.minimum(zcovpclr * zb / zdtgdp, zpreclr)

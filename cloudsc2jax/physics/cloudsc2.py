@@ -243,7 +243,9 @@ def cloudsc2(
         mid = (zqt > zqcrit) & (zqt < zqsat)
         denom = zqcd - zscalm_k * (zqt - zqcrit)
         denom_safe = jnp.where(mid, denom, 1.0)
-        ratio = jnp.where(mid, zqpd, 0.0) / denom_safe
+        # arg-safe select: sqrt'(0)=inf would form 0*inf=NaN in reverse
+        # mode at inactive points if the argument could reach 0
+        ratio = jnp.where(mid, zqpd, denom_safe) / denom_safe
         sqrt_ratio = jnp.sqrt(jnp.maximum(ratio, 0.0))
         pclc_mid = 1.0 - sqrt_ratio
         if lregcl:
@@ -356,16 +358,15 @@ def cloudsc2(
             one_m_clc = jnp.where(llo2, (1.0 - pclc) ** 2, 1.0)
             zpreclr = zprtot * zcovpclr / covptot_safe
             zqe = pqs_k - (pqs_k - zqlim) * zcovpclr / one_m_clc
-            zbeta = (
-                cst.rg
-                * cldp.rpecons
-                * (
-                    jnp.sqrt(pap_k / paph_sfc)
-                    / 5.09e-3
-                    * zpreclr
-                    / covpclr_safe
-                ) ** 0.5777
+            # arg-safe select before the fractional power: x**0.5777 has an
+            # infinite derivative at x=0, which would form 0*inf=NaN in
+            # reverse mode at inactive points
+            zbeta_arg = jnp.where(
+                llo2,
+                jnp.sqrt(pap_k / paph_sfc) / 5.09e-3 * zpreclr / covpclr_safe,
+                1.0,
             )
+            zbeta = cst.rg * cldp.rpecons * zbeta_arg**0.5777
             zb = ptsphy * zbeta * (pqs_k - zqe) / (1.0 + zbeta * ptsphy * zcorqs)
             zdtgdp = ptsphy * cst.rg / zdp_k
             zdpr = jnp.minimum(zcovpclr * zb / zdtgdp, zpreclr)

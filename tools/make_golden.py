@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--nlon", type=int, default=100)
     ap.add_argument("--nlev", type=int, default=137)
     ap.add_argument("--seed", type=int, default=2026)
+    ap.add_argument("--ldrain1d", action="store_true",
+                    help="generate goldens with LDRAIN1D=.TRUE. (activates "
+                    "the clear-sky precip-evaporation branch); writes "
+                    "reference_ldrain1d.h5 and reuses the existing input.h5")
     args = ap.parse_args()
 
     fixtures = REPO / "tests" / "fixtures"
@@ -75,8 +79,9 @@ def main():
     fields, params = cio.synthetic_state(
         nlon=args.nlon, nlev=args.nlev, seed=args.seed
     )
-    cio.write_input_h5(fixtures / "input.h5", fields, params)
-    print(f"wrote {fixtures/'input.h5'}")
+    if not args.ldrain1d:
+        cio.write_input_h5(fixtures / "input.h5", fields, params)
+        print(f"wrote {fixtures/'input.h5'}")
 
     ref = load_reference_numpy_port()
 
@@ -115,7 +120,7 @@ def main():
 
     t0 = time.time()
     ref.cloudsc2_py(
-        0, klon, klon, 0, klev, False, params.ptsphy,
+        0, klon, klon, 0, klev, bool(args.ldrain1d), params.ptsphy,
         paph, pap, pq, pqsat, pt,
         pclv[NCLDQL], pclv[NCLDQI],
         # The reference numpy port indexes plu[jk+1] without the Fortran
@@ -153,8 +158,9 @@ def main():
         "TENDENCY_LOC_CLD": tend_cld,
         "PQSAT": pqsat,  # extra: lets tests check SATUR independently
     }
-    cio.write_reference_h5(fixtures / "reference.h5", outputs)
-    print(f"wrote {fixtures/'reference.h5'}")
+    name = "reference_ldrain1d.h5" if args.ldrain1d else "reference.h5"
+    cio.write_reference_h5(fixtures / name, outputs)
+    print(f"wrote {fixtures/name}")
 
 
 if __name__ == "__main__":
