@@ -31,7 +31,9 @@ def _build_parser():
         prog="cloudsc2jax",
         description="TPU-native CLOUDSC2 NL/TL/AD driver",
     )
-    p.add_argument("variant", choices=["nl", "tl", "ad"])
+    p.add_argument("variant", choices=["nl", "tl", "ad", "tlad"],
+                   help="nl/tl/ad mirror the three reference dwarfs; tlad "
+                        "runs the fused forward+TL+AD production work unit")
     p.add_argument("numomp", type=int, nargs="?", default=1,
                    help="number of devices to use (reference: OpenMP threads)")
     p.add_argument("ngptot", type=int, nargs="?", default=100)
@@ -179,6 +181,27 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path):
         timer.print_performance(args.nproma, ngpblks, ngptot)
         res.report()
         return 0 if res.passed else 1
+
+    if args.variant == "tlad":
+        from .drivers import run_tlad
+
+        nproma = args.nproma if args.nproma < ngptot else None
+        timer.thread_start(0)
+        res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma)
+        jax.block_until_ready(res)
+        for _ in range(args.repeat - 1):
+            res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma)
+            jax.block_until_ready(res)
+        timer.thread_log(0, ngptot * args.repeat)
+        timer.thread_end(0)
+        timer.end()
+        timer.print_performance(args.nproma, ngpblks, ngptot)
+        out, dout, adj = res
+        finite = all(
+            bool(np.isfinite(np.asarray(x)).all()) for x in jax.tree.leaves(res)
+        )
+        print(f"tlad outputs finite: {finite}", file=sys.stderr)
+        return 0 if finite else 1
 
 
 if __name__ == "__main__":

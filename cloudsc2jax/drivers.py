@@ -75,7 +75,7 @@ def run_tlad(
     *,
     lregcl: bool = True,
     ldrain1d: bool = False,
-    remat: bool = False,
+    remat: bool = True,
     nproma: Optional[int] = None,
 ):
     """One fused NL+TL+AD sweep (the production 4D-Var work unit).
