@@ -195,7 +195,7 @@ def cloudsc2(
 
     def level_step(carry, xs):
         zrfl, zsfl, zcovptot = carry
-        (ztp1_k, zqp1_k, zl_k, zi_k, pap_k, paph_k1, pqs_k, plude_k,
+        (ztp1_k, zqp1_k, zl_k, zi_k, pap_k, pqs_k, plude_k,
          plu_k1, pmfu_k, pmfd_k, zdp_k, zlfdcp_k, zlsdcp_k, zlvdcp_k,
          ceta_k, zscalm_k, not_last) = xs
 
@@ -456,7 +456,7 @@ def cloudsc2(
     )
     not_last = jnp.arange(nlev) < nlev - 1
     xs = (
-        ztp1.T, zqp1.T, zl.T, zi.T, pap.T, paph[:, 1:].T, pqs.T, plude.T,
+        ztp1.T, zqp1.T, zl.T, zi.T, pap.T, pqs.T, plude.T,
         plu_next.T, pmfu.T, pmfd.T, zdp.T, zlfdcp.T, zlsdcp.T, zlvdcp.T,
         ceta, zscalm, not_last,
     )
