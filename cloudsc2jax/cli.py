@@ -186,11 +186,14 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path):
         from .drivers import run_tlad
 
         nproma = args.nproma if args.nproma < ngptot else None
+        backend = "pallas" if args.pallas else "xla"
         timer.thread_start(0)
-        res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma)
+        res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
+                       backend=backend)
         jax.block_until_ready(res)
         for _ in range(args.repeat - 1):
-            res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma)
+            res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
+                           backend=backend)
             jax.block_until_ready(res)
         timer.thread_log(0, ngptot * args.repeat)
         timer.thread_end(0)

@@ -77,6 +77,8 @@ def run_tlad(
     ldrain1d: bool = False,
     remat: bool = True,
     nproma: Optional[int] = None,
+    backend: str = "xla",
+    sublanes: int = 32,
 ):
     """One fused NL+TL+AD sweep (the production 4D-Var work unit).
 
@@ -85,8 +87,33 @@ def run_tlad(
     perturbations back through the adjoint — the same work the AD driver
     performs per block (cloudsc_driver_ad_mod.F90:158-237), as a single
     jitted program.  Returns (outputs, d_outputs, input_adjoints).
+
+    ``backend="pallas"`` dispatches to the hand-scheduled fused TPU
+    kernels (:mod:`cloudsc2jax.pallas.tlad_kernel`): the TL kernel
+    propagates trajectory+tangent in one level sweep and the AD pair runs
+    a carry-checkpoint forward sweep plus a reversed-grid transpose sweep
+    — the f32 performance path.  ``backend="xla"`` (default) uses
+    ``jax.jvp``/``jax.vjp`` of the lax.scan kernel — the f64 validation
+    path; ``remat``/``nproma`` apply to it only.
     """
     from functools import partial as _partial
+
+    if backend == "pallas":
+        from .pallas.tlad_kernel import cloudsc2_pallas_ad, cloudsc2_pallas_tl
+
+        def pstep(i):
+            di = jax.tree.map(lambda x: 0.01 * x, i)
+            out, dout = cloudsc2_pallas_tl(
+                i, di, params, lregcl=lregcl, ldrain1d=ldrain1d,
+                sublanes=sublanes,
+            )
+            _, adj = cloudsc2_pallas_ad(
+                i, dout, params, lregcl=lregcl, ldrain1d=ldrain1d,
+                sublanes=sublanes,
+            )
+            return out, dout, adj
+
+        return jax.jit(pstep)(inputs)
 
     f = _partial(
         cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d,

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import Params
+from ..ops import damp_tangent
 from ..physics.cloudsc2 import (
     Cloudsc2Inputs,
     Cloudsc2Outputs,
@@ -58,7 +59,10 @@ N_LEVEL_FIELDS = len(_LEVEL_FIELDS)  # + plu(k+1), paph(k), paph(k+1)
 N_OUTPUTS = 8  # tent, tenq, tenl, teni, pclc, pcov, rfln, sfln
 
 
-def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry):
+def _level_physics(
+    params: Params, ldrain1d: bool, scalars, fields, cols, carry,
+    lregcl: bool = False,
+):
     """One level of CLOUDSC2 on an (S, 128) column tile.
 
     ``scalars`` = (ceta_k, zscalm_k, not_last); ``fields`` = the 14 raw
@@ -66,6 +70,14 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
     paph_sfc); ``carry`` = (zrfl, zsfl, zcovptot).  Returns
     (outputs, new_carry).  Line references cite
     src/cloudsc2_nl/cloudsc2.F90.
+
+    ``lregcl`` injects the reference's TL/AD perturbation regularisations
+    (identity on this nonlinear trajectory; rescales tangents/adjoints
+    when the body is differentiated by the fused TL/AD kernels in
+    :mod:`cloudsc2jax.pallas.tlad_kernel`) at the same four sites as the
+    pure-JAX kernel: the ZYYY cloud-cover damp (cloudsc2tl.F90:574-580),
+    0.1x subsidence (:657), 1/100 autoconversion (:323-324,751-800) and
+    0.7x vapour clipping (:994-1001).
     """
     cst, thf = params.yomcst, params.yoethf
     cldp, phli, phnc = params.yrecldp, params.yrephli, params.yophnc
@@ -78,6 +90,7 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
     zrfl, zsfl, zcovptot = carry
 
     one = jnp.asarray(1.0, pt.dtype)
+    reg = damp_tangent if lregcl else (lambda x, factor: x)
 
     zckcodtl = 2.0 * cldp.rkconv * ptsphy
     zckcodti = 5.0 * cldp.rkconv * ptsphy
@@ -129,6 +142,16 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
     denom_safe = jnp.where(mid, denom, one)
     ratio = jnp.where(mid, zqpd, denom_safe) / denom_safe
     pclc_mid = 1.0 - jnp.sqrt(jnp.maximum(ratio, 0.0))
+    if lregcl:
+        # ZYYY cloud-fraction perturbation damp (cloudsc2tl.F90:574-580)
+        zqcd_safe = jnp.where(mid, zqcd, one)
+        zrat = jnp.clip(zqpd / zqcd_safe, 0.0, 1.0)
+        zyyy = jnp.minimum(
+            0.3,
+            3.5 * jnp.sqrt(zrat * (1.0 - zscalm_k * (1.0 - zrat)) ** 3)
+            / (1.0 - zscalm_k),
+        )
+        pclc_mid = damp_tangent(pclc_mid, zyyy)
     zqc_mid = (zscalm_k * zqpd + (1.0 - zscalm_k) * zqcd) * pclc_mid**2
     saturated = zqt >= zqsat
     pclc = jnp.where(mid, pclc_mid, jnp.where(saturated, one, 0.0))
@@ -154,7 +177,9 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
     dtdzmo = cst.rg * (1.0 / cst.rcpd - zldcp * zrodqsdp) * zfac3
     zdqsdz = zdqsdtemp * dtdzmo - cst.rg * zrodqsdp
     zdqc_sub = zdqsdz * (pmfu + pmfd) * ptsphy / zrho
-    zqc = zqc - jnp.where(zdqc_sub < zqc, zdqc_sub, zqc)
+    # MIN tie convention + 0.1x subsidence tangent damp under LREGCL
+    # (cloudsc2tl.F90:651-661)
+    zqc = zqc - jnp.where(zdqc_sub < zqc, reg(zdqc_sub, 0.1), zqc)
 
     # --- condensation rates (:464-469)
     zqlwc = zqc * zfwat
@@ -180,6 +205,7 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
     zlcrit_l = 1.9 * cldp.rclcrit if (levapls2 or ldrain1d) else 2.0 * cldp.rclcrit
     zcldl = zqlwc / pclc_safe
     zdl = zckcodtl * (1.0 - jnp.exp(-((zcldl / zlcrit_l) ** 2)))
+    zdl = reg(zdl, 0.01)  # ZCKCODTLA=ZCKCODTL/100 (cloudsc2tl.F90:323,751-760)
     zlnew = pclc * zcldl * jnp.exp(-zdl)
     zprr = jnp.where(active, zqlwc - zlnew, 0.0)
     zqlwc = zqlwc - zprr
@@ -191,6 +217,7 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
         * jnp.exp(0.025 * (ztp1 - cst.rtt))
         * (1.0 - jnp.exp(-((zcldi / zlcrit_i) ** 2)))
     )
+    zdi = reg(zdi, 0.01)  # (cloudsc2tl.F90:324, 791-800)
     zinew = pclc * zcldi * jnp.exp(-zdi)
     zprs = jnp.where(active, zqiwc - zinew, 0.0)
     zqiwc = zqiwc - zprs
@@ -273,8 +300,10 @@ def _level_physics(params: Params, ldrain1d: bool, scalars, fields, cols, carry)
         ztp1 = ztp1 + zaldcp * cond1
         zqp1 = zqp1 - cond1
 
-    # --- post-adjustment accounting (:672-692)
-    zdq = jnp.maximum(0.0, zqold - zqp1)
+    # --- post-adjustment accounting (:672-692); clipping tangent damped
+    # by 0.7 under LREGCL (cloudsc2tl.F90:994-1001)
+    diff = zqold - zqp1
+    zdq = jnp.where(diff >= 0.0, reg(diff, 0.7), jnp.zeros_like(diff))
     zdr2 = zcons2 * zdp * zdq
     cold2 = ztp1 < cst.rtt
     zrfreeze2 = jnp.where(cold2, zfwat * zdr2, 0.0)

@@ -1,0 +1,487 @@
+"""Hand-scheduled Pallas TPU kernels for the CLOUDSC2 tangent-linear and
+adjoint sweeps.
+
+The reference maintains hand-written TL/AD Fortran kernels
+(``src/cloudsc2_tl/cloudsc2tl.F90`` 1120 lines,
+``src/cloudsc2_ad/cloudsc2ad.F90`` 1746 lines) whose structure is:
+
+* **TL** — one forward level sweep that recomputes the nonlinear
+  trajectory inline while propagating the perturbation through every
+  statement (cloudsc2tl.F90:341-1119).
+* **AD** — a forward sweep that stores the per-level trajectory into ~40
+  ``(KLON, KLEV)`` checkpoint arrays (cloudsc2ad.F90:228-292, 366-866),
+  then a reverse sweep ``JK = KLEV..1`` accumulating adjoints
+  (cloudsc2ad.F90:934-1668).
+
+Here both derive from the *single* nonlinear level body
+(:func:`cloudsc2jax.pallas.cloudsc2_kernel._level_physics`) via in-kernel
+``jax.jvp`` / ``jax.vjp`` at trace time — the tangent/adjoint statements
+are generated, not hand-maintained, yet the *schedule* is exactly the
+reference's:
+
+* :func:`cloudsc2_pallas_tl` — grid ``(column_blocks, nlev)``, level axis
+  innermost; VMEM scratch carries both the primal (rain, snow, covptot)
+  and its tangent across level steps; the per-level body is
+  ``jax.jvp(level_physics)`` so trajectory and perturbation stream
+  through the VPU together, exactly like the dual statements of
+  cloudsc2tl.F90.
+* :func:`cloudsc2_pallas_ad` — two kernels.  The forward kernel is the
+  NL stream schedule plus three extra output streams holding the
+  *carry-in* of every level (the minimal checkpoint: the only
+  cross-level state is (rfl, sfl, covptot), so the reference's ~40
+  trajectory arrays shrink to 3 — everything else is recomputed
+  in-register during the reverse sweep, the remat trade measured 4.5x
+  faster in XLA).  The reverse kernel runs the grid with *reversed
+  BlockSpec index maps* (block ``nlev-1-k`` at step ``k`` — the
+  hardware expression of ``DO JK = KLEV, 1, -1``), recomputes the level
+  body from the raw fields + carry checkpoint, and transposes it with
+  ``jax.vjp``; the adjoint carry lives in VMEM scratch.
+
+LREGCL regularisations enter through the shared level body (identity on
+the primal, tangent/adjoint rescale via ``ops.damp_tangent``), so
+``lregcl=True`` reproduces the reference AD configuration
+(cloudsc2_ad/dwarf_cloudsc.F90:105) and the TL/AD pair stays mutually
+adjoint by construction.
+
+f32 performance path (the -DSINGLE analogue); f64 validation uses
+``jax.jvp``/``jax.vjp`` of the pure-JAX kernel (:mod:`cloudsc2jax.tlad`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import Params
+from ..physics.cloudsc2 import Cloudsc2Inputs, Cloudsc2Outputs
+from .cloudsc2_kernel import (
+    N_LEVEL_FIELDS,
+    N_OUTPUTS,
+    _LEVEL_FIELDS,
+    _ZEPS1,
+    _ZSCAL,
+    _level_physics,
+    _tropopause_eta_lm,
+)
+
+__all__ = ["cloudsc2_pallas_tl", "cloudsc2_pallas_ad"]
+
+_NF = N_LEVEL_FIELDS + 3  # raw level streams + plu(k+1), paph(k), paph(k+1)
+
+
+# ------------------------------------------------------------------ layout
+class _Layout:
+    """Blocked levels-major layout shared by the TL/AD wrappers.
+
+    Mirrors the NL wrapper (cloudsc2_kernel.cloudsc2_pallas): transpose to
+    ``(nlev, ncol)`` unless ``levels_major``, pad columns to a multiple of
+    ``sublanes*128`` (replicating column 0 — inputs are tile-replicated
+    upstream anyway, expand_mod.F90 semantics), reshape to
+    ``(L, nb, S, 128)`` blocks.
+    """
+
+    def __init__(self, inputs: Cloudsc2Inputs, params: Params,
+                 sublanes: int, levels_major: bool):
+        arrs = {k: jnp.asarray(v) for k, v in inputs._asdict().items()}
+        if not levels_major:
+            arrs = {k: v.T for k, v in arrs.items()}
+        self.arrs = arrs
+        self.nlev, self.ncol = arrs["pt"].shape
+        self.dtype = arrs["pt"].dtype
+        self.sublanes = sublanes
+        self.bc = sublanes * 128
+        self.nb = max(1, math.ceil(self.ncol / self.bc))
+        self.npad = self.nb * self.bc - self.ncol
+
+        ceta = jnp.asarray(params.ceta, self.dtype)
+        self.ceta = ceta
+        self.zscalm = (_ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2).astype(
+            self.dtype
+        )
+        self.notlast = (jnp.arange(self.nlev) < self.nlev - 1).astype(jnp.int32)
+
+        ztp1 = arrs["pt"] + params.ptsphy * arrs["ten_t"]
+        self.ztrpaus_b = self.colblocks(_tropopause_eta_lm(ztp1, ceta))
+        self.paphsfc_b = self.colblocks(arrs["paph"][self.nlev])
+
+    def padcols(self, x):
+        if self.npad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[..., :1], x.shape[:-1] + (self.npad,))], -1
+        )
+
+    def to_blocks(self, x):  # (L, ncol) -> (L, nb, S, 128)
+        return self.padcols(x).reshape(x.shape[0], self.nb, self.sublanes, 128)
+
+    def colblocks(self, x):  # (ncol,) -> (nb, S, 128)
+        return self.padcols(x).reshape(self.nb, self.sublanes, 128)
+
+    def from_blocks(self, x):  # (L, nb, S, 128) -> (L, ncol)
+        return x.reshape(x.shape[0], self.nb * self.bc)[:, : self.ncol]
+
+    def level_operands(self, arrs):
+        """The 17 primal-ordered streams: 14 level fields + plu, paph x2."""
+        blocks = [self.to_blocks(arrs[name]) for name in _LEVEL_FIELDS]
+        return (*blocks, self.to_blocks(arrs["plu"]),
+                self.to_blocks(arrs["paph"]), self.to_blocks(arrs["paph"]))
+
+    # BlockSpecs.  ``rev`` runs the level axis backwards (DO JK=KLEV,1,-1).
+    def specs(self, rev: bool):
+        blk = (1, 1, self.sublanes, 128)
+        nlev = self.nlev
+        lev = rev and (lambda b, k: (nlev - 1 - k, b, 0, 0)) or (
+            lambda b, k: (k, b, 0, 0))
+        plu = rev and (
+            lambda b, k: (jnp.minimum(nlev - k, nlev - 1), b, 0, 0)
+        ) or (lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0))
+        hi = rev and (lambda b, k: (nlev - k, b, 0, 0)) or (
+            lambda b, k: (k + 1, b, 0, 0))
+        mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+        lev_s, plu_s, hi_s = mk(lev), mk(plu), mk(hi)
+        col_s = pl.BlockSpec(
+            (1, self.sublanes, 128), lambda b, k: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        smem_s = pl.BlockSpec(memory_space=pltpu.SMEM)
+        return lev_s, plu_s, hi_s, col_s, smem_s
+
+    def field_specs(self, rev: bool):
+        lev_s, plu_s, hi_s, _, _ = self.specs(rev)
+        return [lev_s] * N_LEVEL_FIELDS + [plu_s, lev_s, hi_s]
+
+    def out_shape(self):
+        return jax.ShapeDtypeStruct(
+            (self.nlev, self.nb, self.sublanes, 128), self.dtype
+        )
+
+    def col_shape(self):
+        return jax.ShapeDtypeStruct((self.nb, self.sublanes, 128), self.dtype)
+
+    def scalar_args(self):
+        n = self.nlev
+        return (self.ceta.reshape(n, 1), self.zscalm.reshape(n, 1),
+                self.notlast.reshape(n, 1))
+
+    def scratch(self, n):
+        return [pltpu.VMEM((self.sublanes, 128), self.dtype)] * n
+
+
+def _assemble_outputs(lay: _Layout, params: Params, outs, levels_major: bool,
+                      tangent: bool = False) -> Cloudsc2Outputs:
+    """(8 level streams) -> Cloudsc2Outputs with flux/enthalpy assembly
+    (cloudsc2.F90:694-735).  Linear, so valid for tangents too."""
+    tent, tenq, tenl, teni, pclc, pcov, rfln, sfln = [
+        lay.from_blocks(o) for o in outs
+    ]
+    top = jnp.zeros((1, lay.ncol), lay.dtype)
+    pfplsl = jnp.concatenate([top, rfln], axis=0)
+    pfplsn = jnp.concatenate([top, sfln], axis=0)
+    out = Cloudsc2Outputs(
+        tenl_t=tent, tenl_q=tenq, tenl_l=tenl, tenl_i=teni,
+        pclc=pclc, pfplsl=pfplsl, pfplsn=pfplsn,
+        pfhpsl=-pfplsl * params.yomcst.rlvtt,
+        pfhpsn=-pfplsn * params.yomcst.rlstt,
+        pcovptot=pcov,
+    )
+    if not levels_major:
+        out = Cloudsc2Outputs(*(x.T for x in out))
+    return out
+
+
+def _seed_streams(lay: _Layout, params: Params, d_outputs: Cloudsc2Outputs,
+                  levels_major: bool):
+    """Cloudsc2Outputs cotangents -> the 8 per-level seed streams.
+
+    Transpose of the output assembly: the flux rows k+1 and both enthalpy
+    fluxes seed the level-k rain/snow outputs
+    (pfhpsl = -rlvtt*pfplsl, cloudsc2.F90:730-735; pfplsl[0] is the
+    constant zero top row, its cotangent drops)."""
+    d = {k: jnp.asarray(v, lay.dtype) for k, v in d_outputs._asdict().items()}
+    if not levels_major:
+        d = {k: v.T for k, v in d.items()}
+    cst = params.yomcst
+    d_rfln = d["pfplsl"][1:] - cst.rlvtt * d["pfhpsl"][1:]
+    d_sfln = d["pfplsn"][1:] - cst.rlstt * d["pfhpsn"][1:]
+    seeds = (d["tenl_t"], d["tenl_q"], d["tenl_l"], d["tenl_i"],
+             d["pclc"], d["pcovptot"], d_rfln, d_sfln)
+    return tuple(lay.to_blocks(s) for s in seeds)
+
+
+# ------------------------------------------------------------------ TL
+def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool):
+    """Fused trajectory+tangent level step (≙ cloudsc2tl.F90 dual
+    statements); primal and tangent carries in VMEM scratch."""
+    ceta_ref, zscalm_ref, notlast_ref, *rest = refs
+    lev_refs, rest = rest[:_NF], rest[_NF:]
+    dlev_refs, rest = rest[:_NF], rest[_NF:]
+    ztrpaus_ref, paphsfc_ref, dpaphsfc_ref = rest[:3]
+    out_refs = rest[3 : 3 + 2 * N_OUTPUTS]
+    rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s = rest[3 + 2 * N_OUTPUTS :]
+
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        for s in (rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s):
+            s[...] = jnp.zeros_like(s)
+
+    scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
+    fields = tuple(r[0, 0] for r in lev_refs)
+    dfields = tuple(r[0, 0] for r in dlev_refs)
+    ztrpaus = ztrpaus_ref[0]
+    cols = (ztrpaus, paphsfc_ref[0])
+    # the tropopause eta is piecewise-constant in the inputs — zero tangent
+    # (cloudsc2.F90:314-326; same convention as the pure-JAX kernel)
+    dcols = (jnp.zeros_like(ztrpaus), dpaphsfc_ref[0])
+    carry = (rfl_s[...], sfl_s[...], cov_s[...])
+    dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
+
+    def f(fl, co, ca):
+        return _level_physics(params, ldrain1d, scalars, fl, co, ca,
+                              lregcl=lregcl)
+
+    (outs, newc), (douts, dnewc) = jax.jvp(
+        f, (fields, cols, carry), (dfields, dcols, dcarry)
+    )
+    for r, v in zip(out_refs[:N_OUTPUTS], outs):
+        r[0, 0] = v
+    for r, v in zip(out_refs[N_OUTPUTS:], douts):
+        r[0, 0] = v
+    rfl_s[...], sfl_s[...], cov_s[...] = newc
+    drfl_s[...], dsfl_s[...], dcov_s[...] = dnewc
+
+
+def cloudsc2_pallas_tl(
+    inputs: Cloudsc2Inputs,
+    d_inputs: Cloudsc2Inputs,
+    params: Params,
+    *,
+    lregcl: bool = False,
+    ldrain1d: bool = False,
+    sublanes: int = 32,
+    levels_major: bool = False,
+    interpret: bool = False,
+) -> Tuple[Cloudsc2Outputs, Cloudsc2Outputs]:
+    """Fused-kernel tangent-linear CLOUDSC2: returns (outputs, d_outputs).
+
+    Drop-in for :func:`cloudsc2jax.tlad.cloudsc2_tl` on the f32 TPU path
+    (≙ CLOUDSC2TL, cloudsc2tl.F90:10-24: one sweep, trajectory recomputed
+    alongside the linear propagation, nothing stored)."""
+    lay = _Layout(inputs, params, sublanes, levels_major)
+    d_arrs = {k: jnp.asarray(v, lay.dtype) for k, v in d_inputs._asdict().items()}
+    if not levels_major:
+        d_arrs = {k: v.T for k, v in d_arrs.items()}
+
+    lev_s_list = lay.field_specs(rev=False)
+    _, _, _, col_s, smem_s = lay.specs(rev=False)
+    out_spec = lev_s_list[0]
+
+    kernel = functools.partial(
+        _tl_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl
+    )
+    cost = pl.CostEstimate(
+        flops=2 * 292 * lay.nlev * lay.nb * lay.bc,
+        bytes_accessed=(2 * _NF + 2 * N_OUTPUTS)
+        * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
+        transcendentals=2 * 10 * lay.nlev * lay.nb * lay.bc,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(lay.nb, lay.nlev),
+        in_specs=[smem_s] * 3 + lev_s_list + lev_s_list + [col_s] * 3,
+        out_specs=[out_spec] * (2 * N_OUTPUTS),
+        out_shape=[lay.out_shape()] * (2 * N_OUTPUTS),
+        scratch_shapes=lay.scratch(6),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(
+        *lay.scalar_args(),
+        *lay.level_operands(lay.arrs),
+        *lay.level_operands(d_arrs),
+        lay.ztrpaus_b, lay.paphsfc_b,
+        lay.colblocks(d_arrs["paph"][lay.nlev]),
+    )
+    out = _assemble_outputs(lay, params, outs[:N_OUTPUTS], levels_major)
+    d_out = _assemble_outputs(lay, params, outs[N_OUTPUTS:], levels_major)
+    return out, d_out
+
+
+# ------------------------------------------------------------------ AD
+def _fwd_ckpt_kernel(*refs, params: Params, ldrain1d: bool):
+    """NL stream schedule + per-level carry-IN checkpoints (the minimal
+    trajectory store: ≙ cloudsc2ad.F90's forward sweep, with its ~40
+    (KLON,KLEV) arrays reduced to the 3-variable carry)."""
+    ceta_ref, zscalm_ref, notlast_ref, *rest = refs
+    lev_refs, rest = rest[:_NF], rest[_NF:]
+    ztrpaus_ref, paphsfc_ref = rest[:2]
+    out_refs = rest[2 : 2 + N_OUTPUTS]
+    ckpt_refs = rest[2 + N_OUTPUTS : 5 + N_OUTPUTS]
+    rfl_s, sfl_s, cov_s = rest[5 + N_OUTPUTS :]
+
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        for s in (rfl_s, sfl_s, cov_s):
+            s[...] = jnp.zeros_like(s)
+
+    scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
+    fields = tuple(r[0, 0] for r in lev_refs)
+    cols = (ztrpaus_ref[0], paphsfc_ref[0])
+    carry = (rfl_s[...], sfl_s[...], cov_s[...])
+    for r, v in zip(ckpt_refs, carry):  # checkpoint the carry-in
+        r[0, 0] = v
+
+    outs, (zrfln, zsfln, zcovptot) = _level_physics(
+        params, ldrain1d, scalars, fields, cols, carry
+    )
+    for r, v in zip(out_refs, outs):
+        r[0, 0] = v
+    rfl_s[...] = zrfln
+    sfl_s[...] = zsfln
+    cov_s[...] = zcovptot
+
+
+def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
+                nlev: int):
+    """Reverse sweep (≙ cloudsc2ad.F90:934-1668, DO JK=KLEV,1,-1): the
+    grid's level axis runs backwards via the reversed index maps; the
+    level trajectory is recomputed from raw fields + carry checkpoint and
+    transposed in-register with jax.vjp; adjoint carry in VMEM scratch."""
+    ceta_ref, zscalm_ref, notlast_ref, *rest = refs
+    lev_refs, rest = rest[:_NF], rest[_NF:]
+    ckpt_refs, rest = rest[:3], rest[3:]
+    seed_refs, rest = rest[:N_OUTPUTS], rest[N_OUTPUTS:]
+    ztrpaus_ref, paphsfc_ref = rest[:2]
+    dout_refs = rest[2 : 2 + _NF]
+    dpaphsfc_ref = rest[2 + _NF]
+    drfl_s, dsfl_s, dcov_s = rest[3 + _NF :]
+
+    k = pl.program_id(1)
+    kr = nlev - 1 - k  # physical level of this step
+
+    @pl.when(k == 0)
+    def _init():
+        for s in (drfl_s, dsfl_s, dcov_s):
+            s[...] = jnp.zeros_like(s)
+        dpaphsfc_ref[0] = jnp.zeros_like(dpaphsfc_ref[0])
+
+    scalars = (ceta_ref[kr, 0], zscalm_ref[kr, 0], notlast_ref[kr, 0] > 0)
+    fields = tuple(r[0, 0] for r in lev_refs)
+    cols = (ztrpaus_ref[0], paphsfc_ref[0])
+    carry_in = tuple(r[0, 0] for r in ckpt_refs)
+
+    def f(fl, co, ca):
+        return _level_physics(params, ldrain1d, scalars, fl, co, ca,
+                              lregcl=lregcl)
+
+    _, vjp_fn = jax.vjp(f, fields, cols, carry_in)
+    seeds = tuple(r[0, 0] for r in seed_refs)
+    dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
+    dfields, dcols, dcarry_in = vjp_fn((seeds, dcarry))
+
+    for r, v in zip(dout_refs, dfields):
+        r[0, 0] = v
+    drfl_s[...], dsfl_s[...], dcov_s[...] = dcarry_in
+    # d_ztrpaus (dcols[0]) propagates to exactly zero through the
+    # stop-gradient masked max (cloudsc2_kernel._tropopause_eta_lm) — drop.
+    dpaphsfc_ref[0] = dpaphsfc_ref[0] + dcols[1]
+
+
+def cloudsc2_pallas_ad(
+    inputs: Cloudsc2Inputs,
+    d_outputs: Cloudsc2Outputs,
+    params: Params,
+    *,
+    lregcl: bool = True,
+    ldrain1d: bool = False,
+    sublanes: int = 32,
+    levels_major: bool = False,
+    interpret: bool = False,
+) -> Tuple[Cloudsc2Outputs, Cloudsc2Inputs]:
+    """Fused-kernel adjoint CLOUDSC2: returns (outputs, input_adjoints).
+
+    Drop-in for :func:`cloudsc2jax.tlad.cloudsc2_ad` on the f32 TPU path
+    (≙ CLOUDSC2AD, cloudsc2ad.F90:177-202): forward checkpoint sweep +
+    reverse accumulation sweep, seeded with output adjoints."""
+    lay = _Layout(inputs, params, sublanes, levels_major)
+    lev_fwd = lay.field_specs(rev=False)
+    lev_rev = lay.field_specs(rev=True)
+    _, _, _, col_s, smem_s = lay.specs(rev=False)
+    fwd_spec, rev_spec = lev_fwd[0], lev_rev[0]
+    operands = lay.level_operands(lay.arrs)
+
+    # ---- forward sweep with carry checkpoints
+    fwd = pl.pallas_call(
+        functools.partial(_fwd_ckpt_kernel, params=params, ldrain1d=ldrain1d),
+        grid=(lay.nb, lay.nlev),
+        in_specs=[smem_s] * 3 + lev_fwd + [col_s] * 2,
+        out_specs=[fwd_spec] * (N_OUTPUTS + 3),
+        out_shape=[lay.out_shape()] * (N_OUTPUTS + 3),
+        scratch_shapes=lay.scratch(3),
+        cost_estimate=pl.CostEstimate(
+            flops=292 * lay.nlev * lay.nb * lay.bc,
+            bytes_accessed=(_NF + N_OUTPUTS + 3)
+            * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
+            transcendentals=10 * lay.nlev * lay.nb * lay.bc,
+        ),
+        interpret=interpret,
+    )(*lay.scalar_args(), *operands, lay.ztrpaus_b, lay.paphsfc_b)
+    outs, ckpts = fwd[:N_OUTPUTS], fwd[N_OUTPUTS:]
+
+    # ---- reverse sweep
+    seeds = _seed_streams(lay, params, d_outputs, levels_major)
+    rev = pl.pallas_call(
+        functools.partial(
+            _rev_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
+            nlev=lay.nlev,
+        ),
+        grid=(lay.nb, lay.nlev),
+        in_specs=[smem_s] * 3 + lev_rev + [rev_spec] * 3
+        + [rev_spec] * N_OUTPUTS + [col_s] * 2,
+        out_specs=[rev_spec] * _NF + [col_s],
+        out_shape=[lay.out_shape()] * _NF + [lay.col_shape()],
+        scratch_shapes=lay.scratch(3),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 292 * lay.nlev * lay.nb * lay.bc,
+            bytes_accessed=(2 * _NF + N_OUTPUTS + 4)
+            * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
+            transcendentals=2 * 10 * lay.nlev * lay.nb * lay.bc,
+        ),
+        interpret=interpret,
+    )(*lay.scalar_args(), *operands, *ckpts, *seeds,
+      lay.ztrpaus_b, lay.paphsfc_b)
+
+    dlev = [lay.from_blocks(x) for x in rev[:_NF]]
+    d_plu_k1, d_paph_lo, d_paph_hi = dlev[N_LEVEL_FIELDS:]
+    dpaphsfc = rev[_NF].reshape(lay.nb * lay.bc)[: lay.ncol]
+
+    zrow = jnp.zeros((1, lay.ncol), lay.dtype)
+    d = dict(zip(_LEVEL_FIELDS, dlev[:N_LEVEL_FIELDS]))
+    # scatter the shifted-view adjoints back onto their source buffers:
+    # plu(k+1) reads mean d_plu[k] = d_plu_k1[k-1] (level 0 is never read
+    # as k+1; the clamped last-level read has zero cotangent since llo1 is
+    # masked by not_last); paph is read as lo(k), hi(k+1) and sfc(nlev).
+    d["plu"] = jnp.concatenate([zrow, d_plu_k1[:-1]], axis=0)
+    d["paph"] = (
+        jnp.concatenate([d_paph_lo, zrow], axis=0)
+        + jnp.concatenate([zrow, d_paph_hi], axis=0)
+    ).at[lay.nlev].add(dpaphsfc)
+
+    d_in = Cloudsc2Inputs(
+        paph=d["paph"], pap=d["pap"], pq=d["pq"], pqs=d["pqs"], pt=d["pt"],
+        pl=d["pl"], pi=d["pi"], plude=d["plude"], plu=d["plu"],
+        pmfu=d["pmfu"], pmfd=d["pmfd"], ten_t=d["ten_t"], ten_q=d["ten_q"],
+        ten_l=d["ten_l"], ten_i=d["ten_i"], psupsat=d["psupsat"],
+    )
+    out = _assemble_outputs(lay, params, outs, levels_major)
+    if not levels_major:
+        d_in = Cloudsc2Inputs(*(x.T for x in d_in))
+    return out, d_in

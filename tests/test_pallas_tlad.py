@@ -1,0 +1,107 @@
+"""Fused Pallas TL/AD kernels vs jax.jvp/jax.vjp of the pure-JAX kernel
+(interpret mode on CPU, f32).
+
+The hand-scheduled kernels (tlad_kernel.py) re-schedule the identical
+differentiated math: the TL kernel fuses trajectory+tangent per level
+step (≙ cloudsc2tl.F90's dual statements), the AD pair runs a forward
+carry-checkpoint sweep plus a reversed-grid transpose sweep
+(≙ cloudsc2ad.F90:366-866 forward store / :934-1668 reverse loop).
+These tests pin both to the autodiff of the lax.scan kernel and check
+the adjoint identity end-to-end through the kernels themselves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloudsc2jax.pallas.tlad_kernel import cloudsc2_pallas_ad, cloudsc2_pallas_tl
+from cloudsc2jax.tlad import cloudsc2_ad, cloudsc2_tl
+
+
+@pytest.fixture(scope="module")
+def f32_inputs(state):
+    return state.kernel_inputs(dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def f32_increments(f32_inputs):
+    return jax.tree.map(lambda x: 0.01 * jnp.asarray(x), f32_inputs)
+
+
+def _assert_tree_close(got, want, rtol, what):
+    for name, a, b in zip(want._fields, got, want):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < rtol, (what, name)
+
+
+@pytest.mark.parametrize("lregcl", [False, True])
+def test_tl_kernel_matches_jvp(state, f32_inputs, f32_increments, lregcl):
+    out_ref, dout_ref = cloudsc2_tl(
+        f32_inputs, f32_increments, state.params, lregcl=lregcl
+    )
+    out, dout = cloudsc2_pallas_tl(
+        f32_inputs, f32_increments, state.params,
+        lregcl=lregcl, sublanes=1, interpret=True,
+    )
+    _assert_tree_close(out, out_ref, 5e-6, "primal")
+    _assert_tree_close(dout, dout_ref, 5e-5, "tangent")
+
+
+@pytest.mark.parametrize("lregcl", [False, True])
+def test_ad_kernel_matches_vjp(state, f32_inputs, f32_increments, lregcl):
+    # seed with the TL image of the canonical increments, like the AD
+    # driver (cloudsc_driver_ad_mod.F90:160-237)
+    _, dout = cloudsc2_tl(f32_inputs, f32_increments, state.params, lregcl=lregcl)
+    out_ref, adj_ref = cloudsc2_ad(
+        f32_inputs, dout, state.params, lregcl=lregcl
+    )
+    out, adj = cloudsc2_pallas_ad(
+        f32_inputs, dout, state.params, lregcl=lregcl, sublanes=1,
+        interpret=True,
+    )
+    _assert_tree_close(out, out_ref, 5e-6, "primal")
+    for name, a, b in zip(adj_ref._fields, adj, adj_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-4, name
+
+
+def test_adjoint_identity_through_kernels(state, f32_inputs, f32_increments):
+    """⟨Mδx, Mδx⟩ = ⟨δx, MᵀMδx⟩ with M = the Pallas TL kernel and Mᵀ = the
+    Pallas AD kernel — the dot-product test of
+    cloudsc_driver_ad_mod.F90:184-264 run through the fused kernels."""
+    di = f32_increments._replace(
+        psupsat=jnp.zeros_like(f32_increments.psupsat)
+    )
+    _, dout = cloudsc2_pallas_tl(
+        f32_inputs, di, state.params, lregcl=True, sublanes=1, interpret=True
+    )
+    _, adj = cloudsc2_pallas_ad(
+        f32_inputs, dout, state.params, lregcl=True, sublanes=1,
+        interpret=True,
+    )
+    norm1 = sum(float(jnp.sum(jnp.asarray(y, jnp.float64) ** 2)) for y in dout)
+    norm2 = sum(
+        float(jnp.sum(jnp.asarray(a, jnp.float64) * jnp.asarray(b, jnp.float64)))
+        for a, b in zip(di, adj)
+    )
+    assert norm1 != 0.0
+    # kernels run in f32; the identity holds to f32 rounding of the dot
+    # products (the f64 10⁴ε criterion applies to the f64 path, tlad.py)
+    assert abs(norm1 - norm2) / abs(norm2) < 1e-4
+
+
+def test_tl_kernel_levels_major(state, f32_inputs, f32_increments):
+    ref_out, ref_dout = cloudsc2_pallas_tl(
+        f32_inputs, f32_increments, state.params, sublanes=1, interpret=True
+    )
+    lm_in = type(f32_inputs)(*(np.ascontiguousarray(np.asarray(x).T) for x in f32_inputs))
+    lm_di = type(f32_inputs)(*(np.ascontiguousarray(np.asarray(x).T) for x in f32_increments))
+    lm_out, lm_dout = cloudsc2_pallas_tl(
+        lm_in, lm_di, state.params, sublanes=1, interpret=True,
+        levels_major=True,
+    )
+    for a, b in zip(lm_dout, ref_dout):
+        np.testing.assert_array_equal(np.asarray(a).T, np.asarray(b))
