@@ -32,16 +32,18 @@ def main():
     use_pallas = os.environ.get("CLOUDSC2_BENCH_PALLAS", "1") == "1"
     platform = jax.devices()[0].platform
 
-    state = Cloudsc2State.synthetic(ngptot=ngptot, nlev=137)
-    inputs = state.kernel_inputs(dtype=np.float32)
-    inputs = jax.device_put(inputs)
+    # expand the 100 stored columns to ngptot ON DEVICE: host-side
+    # expansion + a GB-scale transfer takes minutes on a slow host CPU /
+    # tunnel, device tiling is milliseconds
+    state = Cloudsc2State.synthetic(ngptot=100, nlev=137)
+    inputs = state.device_kernel_inputs(ngptot, dtype=np.float32)
 
     from functools import partial
 
     if use_pallas and platform == "tpu":
         from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
 
-        sublanes = int(os.environ.get("CLOUDSC2_BENCH_SUBLANES", 32))
+        sublanes = int(os.environ.get("CLOUDSC2_BENCH_SUBLANES", 128))
         mode = os.environ.get("CLOUDSC2_BENCH_MODE", "stream")
         fn = jax.jit(
             partial(cloudsc2_pallas, params=state.params,
@@ -73,7 +75,19 @@ def main():
         inputs._replace(pt=inputs.pt + np.float32(1e-6 * rng.uniform(0.5, 1.5) * (i + 1)))
         for i in range(repeats)
     ]
-    float(scalar_step(inputs))  # compile + warm
+    # compile + warm.  Measured on v5e via the axon tunnel: the first
+    # *chained* (back-to-back, no host sync) sequence in a process runs
+    # ~2.5x slower than steady state, and per-call blocking warm-ups do
+    # NOT trigger the ramp — so the warm-up must itself be a throwaway
+    # chain, fetched once.
+    warm = [
+        inputs._replace(pt=inputs.pt + np.float32(2e-6 * rng.uniform(0.5, 1.5) * (i + 1)))
+        for i in range(10)
+    ]
+    acc = jnp.float32(0.0)
+    for w in warm:
+        acc = acc + scalar_step(w)
+    assert np.isfinite(float(acc))
 
     acc = jnp.float32(0.0)
     t0 = time.perf_counter()

@@ -103,10 +103,10 @@ def shard_inputs(pytree, mesh: Mesh):
     """
 
     def place(x):
-        x = np.asarray(x)
-        sh = column_sharding(mesh, x.ndim)
+        sh = column_sharding(mesh, np.ndim(x))
         if jax.process_count() == 1:
+            # device arrays re-shard in place; no host round-trip
             return jax.device_put(x, sh)
-        return jax.make_array_from_process_local_data(sh, x)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
     return jax.tree.map(place, pytree)

@@ -78,7 +78,7 @@ def run_tlad(
     remat: bool = True,
     nproma: Optional[int] = None,
     backend: str = "xla",
-    sublanes: int = 32,
+    sublanes: int = 64,
 ):
     """One fused NL+TL+AD sweep (the production 4D-Var work unit).
 
@@ -96,6 +96,24 @@ def run_tlad(
     ``jax.jvp``/``jax.vjp`` of the lax.scan kernel — the f64 validation
     path; ``remat``/``nproma`` apply to it only.
     """
+    key = (id(params), lregcl, ldrain1d, remat, nproma, backend, sublanes)
+    hit = _TLAD_CACHE.get(key)
+    if hit is None or hit[0] is not params:
+        hit = (params, _tlad_step(params, lregcl, ldrain1d, remat, nproma,
+                                  backend, sublanes))
+        _TLAD_CACHE[key] = hit
+    return hit[1](inputs)
+
+
+# Jitted work-unit cache: repeated run_tlad calls (CLI --repeat, benchmark
+# loops) must reuse one trace/executable instead of re-jitting — and, on
+# the axon AOT path, re-*compiling* — a fresh closure every call.  Keyed
+# by id(params) (the Params pytree holds arrays and is unhashable); the
+# cached tuple keeps params alive so ids cannot be recycled while cached.
+_TLAD_CACHE: dict = {}
+
+
+def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes):
     from functools import partial as _partial
 
     if backend == "pallas":
@@ -113,7 +131,7 @@ def run_tlad(
             )
             return out, dout, adj
 
-        return jax.jit(pstep)(inputs)
+        return jax.jit(pstep)
 
     f = _partial(
         cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d,
@@ -128,8 +146,8 @@ def run_tlad(
         return out, dout, adj
 
     if nproma is not None:
-        return jax.jit(lambda i: map_columns(step, i, nproma))(inputs)
-    return jax.jit(step)(inputs)
+        return jax.jit(lambda i: map_columns(step, i, nproma))
+    return jax.jit(step)
 
 
 # ------------------------------------------------------------------ Taylor

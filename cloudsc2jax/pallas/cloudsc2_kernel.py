@@ -412,7 +412,7 @@ def cloudsc2_pallas(
     params: Params,
     *,
     ldrain1d: bool = False,
-    sublanes: int = 32,
+    sublanes: int = 128,
     mode: str = "stream",
     levels_major: bool = False,
     interpret: bool = False,

@@ -265,7 +265,7 @@ def cloudsc2_pallas_tl(
     *,
     lregcl: bool = False,
     ldrain1d: bool = False,
-    sublanes: int = 32,
+    sublanes: int = 64,
     levels_major: bool = False,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Outputs]:
@@ -402,7 +402,7 @@ def cloudsc2_pallas_ad(
     *,
     lregcl: bool = True,
     ldrain1d: bool = False,
-    sublanes: int = 32,
+    sublanes: int = 64,
     levels_major: bool = False,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Inputs]:

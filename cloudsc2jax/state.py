@@ -24,6 +24,22 @@ from .physics.satur import satur
 __all__ = ["Cloudsc2State"]
 
 
+def _tile_columns(tree, ngptot: int):
+    """Cyclic column expansion on device (EXPAND_R2/R3 semantics,
+    expand_mod.F90:270-335): tile + truncate along the leading axis."""
+    import jax
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
+    def tile(x, n):
+        import jax.numpy as jnp
+
+        reps = -(-n // x.shape[0])
+        return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:n]
+
+    return jax.tree.map(lambda x: tile(x, ngptot), tree)
+
+
 @dataclasses.dataclass
 class Cloudsc2State:
     """All model fields in framework order ``(ncol, [nclv,] nlev)``."""
@@ -66,7 +82,23 @@ class Cloudsc2State:
     # ------------------------------------------------------------- kernel IO
     def qsat(self, dtype=None):
         f = self._cast(dtype)
-        return satur(f["PAP"], f["PT"], self.params, lphylin=True, kflag=2)
+        return self._jit_satur(f["PAP"], f["PT"])
+
+    @property
+    def _jit_satur(self):
+        """SATUR under one jit: eager execution dispatches ~40 separate
+        ops, each a device roundtrip — prohibitive over a remote-execution
+        tunnel (measured minutes of CLI startup at 160k columns)."""
+        fn = getattr(self, "_jit_satur_cache", None)
+        if fn is None:
+            import jax
+            from functools import partial
+
+            fn = jax.jit(
+                partial(satur, params=self.params, lphylin=True, kflag=2)
+            )
+            object.__setattr__(self, "_jit_satur_cache", fn)
+        return fn
 
     def _cast(self, dtype):
         if dtype is None:
@@ -92,7 +124,7 @@ class Cloudsc2State:
     def _kernel_inputs_cm(self, pqs=None, dtype=None) -> Cloudsc2Inputs:
         f = self._cast(dtype)
         if pqs is None:
-            pqs = satur(f["PAP"], f["PT"], self.params, lphylin=True, kflag=2)
+            pqs = self._jit_satur(f["PAP"], f["PT"])
         return Cloudsc2Inputs(
             paph=f["PAPH"],
             pap=f["PAP"],
@@ -111,6 +143,31 @@ class Cloudsc2State:
             ten_i=f["TENDENCY_CML_CLD"][:, NCLDQI],
             psupsat=f["PSUPSAT"],
         )
+
+    def device_kernel_inputs(
+        self, ngptot: Optional[int] = None, dtype=None,
+        levels_major: bool = False,
+    ) -> Cloudsc2Inputs:
+        """Kernel inputs expanded to ``ngptot`` columns ON DEVICE.
+
+        The host-side expansion (``io.expand_columns`` ≙ expand_mod.F90)
+        materialises GB-scale arrays and ships them over the host↔device
+        link; at 160k columns that dominates start-up by minutes on a
+        slow/shared host CPU.  Here only the ``klon_file`` stored columns
+        are transferred (~1 MB) and XLA tiles them cyclically on the
+        accelerator — identical values, accelerator-speed expansion.
+        """
+        import jax
+
+        ngptot = ngptot or self.ngptot
+        base = Cloudsc2Inputs(
+            *(np.asarray(x)[: self.klon_file]
+              for x in self._kernel_inputs_cm(dtype=dtype))
+        )
+        tiled = _tile_columns(jax.device_put(base), ngptot)
+        if levels_major:
+            tiled = Cloudsc2Inputs(*(x.T for x in tiled))
+        return tiled
 
     def output_dict(self, out: Cloudsc2Outputs) -> Dict[str, np.ndarray]:
         """Map kernel outputs to the golden-file field names.

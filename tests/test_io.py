@@ -83,3 +83,19 @@ def test_input_file_loads_in_reference_shape():
             assert k in f, k
         assert f["PCLV"].shape == (5, 137, 100)
         assert f["PAPH"].shape == (138, 100)
+
+
+def test_device_kernel_inputs_match_host_expansion(state):
+    """Device-side tiling (state.device_kernel_inputs) must equal the
+    host-side expand_columns path value-for-value (expand_mod.F90
+    cyclic-replication semantics)."""
+    import numpy as np
+
+    from cloudsc2jax.state import Cloudsc2State
+
+    small = Cloudsc2State.synthetic(ngptot=100, nlev=17)
+    big = Cloudsc2State.synthetic(ngptot=259, nlev=17)  # non-multiple
+    host = big.kernel_inputs(dtype=np.float32)
+    dev = small.device_kernel_inputs(259, dtype=np.float32)
+    for name, a, b in zip(host._fields, host, dev):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
