@@ -146,24 +146,25 @@ def main(argv=None):
         else contextlib.nullcontext()
     ):
         rc = _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks,
-                       reference_path)
+                       reference_path, mesh)
     return rc
 
 
-def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path):
+def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
+              mesh=None):
     from .drivers import adjoint_test, taylor_test
 
+    multi = mesh is not None and mesh.devices.size > 1
+
     if args.variant == "nl":
-        if args.pallas:
-            from .pallas.cloudsc2_kernel import cloudsc2_pallas as _k
-            from functools import partial
+        from functools import partial
+        from .drivers import run_nl
 
-            fn = jax.jit(partial(_k, params=state.params))
-        else:
-            from functools import partial
-            from .physics.cloudsc2 import cloudsc2 as _k
-
-            fn = jax.jit(partial(_k, params=state.params))
+        backend = "pallas" if args.pallas else "xla"
+        fn = partial(
+            run_nl, params=state.params, backend=backend,
+            mesh=mesh if (multi and args.pallas) else None,
+        )
         timer.thread_start(0)
         out = fn(inputs)
         jax.block_until_ready(out)
@@ -208,13 +209,14 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path):
 
         nproma = args.nproma if args.nproma < ngptot else None
         backend = "pallas" if args.pallas else "xla"
+        tlad_mesh = mesh if (multi and args.pallas) else None
         timer.thread_start(0)
         res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
-                       backend=backend)
+                       backend=backend, mesh=tlad_mesh)
         jax.block_until_ready(res)
         for _ in range(args.repeat - 1):
             res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
-                           backend=backend)
+                           backend=backend, mesh=tlad_mesh)
             jax.block_until_ready(res)
         timer.thread_log(0, ngptot * args.repeat)
         timer.thread_end(0)

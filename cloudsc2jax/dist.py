@@ -38,6 +38,7 @@ __all__ = [
     "column_sharding",
     "pad_columns",
     "shard_inputs",
+    "shard_map_columns",
     "rank_columns",
     "local_column_slice",
 ]
@@ -110,3 +111,27 @@ def shard_inputs(pytree, mesh: Mesh):
         return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
     return jax.tree.map(place, pytree)
+
+
+def shard_map_columns(fn, mesh: Mesh, example):
+    """SPMD-wrap a column-wise kernel over the mesh's column axis.
+
+    The XLA (lax.scan) kernel path is auto-partitioned by jit from the
+    input shardings, but a ``pallas_call`` is a single-device program —
+    ``shard_map`` runs one instance per device on its local column shard
+    (embarrassingly parallel, zero collectives: SURVEY §3.4 — the physics
+    never communicates across columns).  ``example`` is an input pytree
+    (or ShapeDtypeStructs) used to derive the per-leaf specs.
+    """
+
+    def spec(x):
+        return P(COLS_AXIS, *([None] * (np.ndim(x) - 1)))
+
+    in_specs = (jax.tree.map(spec, example),)
+    out_specs = jax.tree.map(spec, jax.eval_shape(fn, example))
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axis
+    # info; the kernel is per-column so every output varies with COLS_AXIS
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )

@@ -41,8 +41,29 @@ def run_nl(
     params: Params,
     *,
     ldrain1d: bool = False,
+    backend: str = "xla",
+    mesh=None,
+    sublanes: int = 128,
 ) -> Cloudsc2Outputs:
-    """Forward (nonlinear) run, jitted (cloudsc_driver_mod.F90:73-119)."""
+    """Forward (nonlinear) run, jitted (cloudsc_driver_mod.F90:73-119).
+
+    ``backend="pallas"`` uses the fused TPU kernel; with a ``mesh`` it is
+    SPMD-wrapped over the column axis (``dist.shard_map_columns``) — one
+    kernel instance per device on its local shard, zero collectives.
+    The XLA backend is auto-partitioned by jit from the input shardings.
+    """
+    if backend == "pallas":
+        from .pallas.cloudsc2_kernel import cloudsc2_pallas
+
+        fn = partial(
+            cloudsc2_pallas, params=params, ldrain1d=ldrain1d,
+            sublanes=sublanes,
+        )
+        if mesh is not None:
+            from . import dist
+
+            fn = dist.shard_map_columns(fn, mesh, inputs)
+        return jax.jit(fn)(inputs)
     fn = jax.jit(partial(cloudsc2, params=params, ldrain1d=ldrain1d))
     return fn(inputs)
 
@@ -79,6 +100,7 @@ def run_tlad(
     nproma: Optional[int] = None,
     backend: str = "xla",
     sublanes: int = 64,
+    mesh=None,
 ):
     """One fused NL+TL+AD sweep (the production 4D-Var work unit).
 
@@ -96,11 +118,17 @@ def run_tlad(
     ``jax.jvp``/``jax.vjp`` of the lax.scan kernel — the f64 validation
     path; ``remat``/``nproma`` apply to it only.
     """
-    key = (id(params), lregcl, ldrain1d, remat, nproma, backend, sublanes)
+    key = (id(params), lregcl, ldrain1d, remat, nproma, backend, sublanes,
+           id(mesh))
     hit = _TLAD_CACHE.get(key)
     if hit is None or hit[0] is not params:
-        hit = (params, _tlad_step(params, lregcl, ldrain1d, remat, nproma,
-                                  backend, sublanes))
+        step = _tlad_step(params, lregcl, ldrain1d, remat, nproma,
+                          backend, sublanes)
+        if mesh is not None and backend == "pallas":
+            from . import dist
+
+            step = jax.jit(dist.shard_map_columns(step, mesh, inputs))
+        hit = (params, step, mesh)
         _TLAD_CACHE[key] = hit
     return hit[1](inputs)
 
