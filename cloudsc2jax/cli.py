@@ -99,35 +99,18 @@ def main(argv=None):
     ngptot = dist.pad_columns(args.ngptot, mesh)
     ngpblks = -(-ngptot // args.nproma)
 
-    # Host-side expansion + full-size transfer is needed only when the
-    # run validates or writes a golden file (the state must hold all
-    # columns on host); perf runs expand on-device from the ~100 stored
-    # columns instead — GB of host work/transfer collapses to ~1 MB.
-    needs_host_state = (
-        args.variant == "nl"
-        and (
-            (not args.no_validate and pathlib.Path(reference_path).exists())
-            or os.environ.get("CLOUDSC2_WRITE_REFERENCE") == "1"
-        )
-    )
+    # Inputs expand on-device from the ~100 stored columns (GB of host
+    # work/transfer collapses to ~1 MB); validation statistics are also
+    # device-resident, so no path needs a full-size host state.
     dtype = np.float64 if args.dtype == "f64" else np.float32
-    if needs_host_state:
-        state = (
-            Cloudsc2State.load(input_path, ngptot=ngptot)
-            if pathlib.Path(input_path).exists()
-            else Cloudsc2State.synthetic(ngptot=ngptot)
-        )
-        inputs = state.kernel_inputs(dtype=dtype)
-        inputs = dist.shard_inputs(inputs, mesh)
-    else:
-        state = (
-            Cloudsc2State.load(input_path)
-            if pathlib.Path(input_path).exists()
-            else Cloudsc2State.synthetic(ngptot=min(ngptot, 100))
-        )
-        state.ngptot = ngptot
-        inputs = state.device_kernel_inputs(ngptot, dtype=dtype)
-        inputs = dist.shard_inputs(inputs, mesh)
+    state = (
+        Cloudsc2State.load(input_path)
+        if pathlib.Path(input_path).exists()
+        else Cloudsc2State.synthetic(ngptot=min(ngptot, 100))
+    )
+    state.ngptot = ngptot
+    inputs = state.device_kernel_inputs(ngptot, dtype=dtype)
+    inputs = dist.shard_inputs(inputs, mesh)
 
     print(
         f"     NUMPROC={jax.process_count()}, NUMDEV={len(devices)},"
@@ -171,16 +154,24 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         for _ in range(args.repeat - 1):
             out = fn(inputs)
             jax.block_until_ready(out)
-        timer.thread_log(0, ngptot * args.repeat)
+        ndev = mesh.devices.size if mesh is not None else 1
+        timer.spmd_log(ndev, ngptot * args.repeat)
         timer.thread_end(0)
+        timer.mirror_times(ndev)
         timer.end()
         timer.print_performance(args.nproma, ngpblks, ngptot)
         ok = True
         if not args.no_validate and pathlib.Path(reference_path).exists():
-            out_host = jax.tree.map(np.asarray, out)
-            ok = state.validate(out_host, reference_path, threshold=args.threshold)
+            ok = state.validate_device(
+                out, inputs, reference_path, threshold=args.threshold
+            )
         if os.environ.get("CLOUDSC2_WRITE_REFERENCE") == "1":
-            state.write_reference(jax.tree.map(np.asarray, out), "reference.h5")
+            # the stored-column block suffices (cyclic expansion); fetch
+            # only those columns to host
+            head = jax.tree.map(
+                lambda x: np.asarray(x[: state.klon_file]), out
+            )
+            state.write_reference(head, "reference.h5")
             print("Written reference results to reference.h5", file=sys.stderr)
         return 0 if ok else 1
 
@@ -218,8 +209,10 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
             res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
                            backend=backend, mesh=tlad_mesh)
             jax.block_until_ready(res)
-        timer.thread_log(0, ngptot * args.repeat)
+        ndev = mesh.devices.size if mesh is not None else 1
+        timer.spmd_log(ndev, ngptot * args.repeat)
         timer.thread_end(0)
+        timer.mirror_times(ndev)
         timer.end()
         timer.print_performance(args.nproma, ngpblks, ngptot)
         out, dout, adj = res

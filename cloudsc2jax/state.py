@@ -211,6 +211,56 @@ class Cloudsc2State:
             return all(e.passed(threshold) for e in errors.values())
         return cval.print_validation(errors, threshold)
 
+    def validate_device(
+        self,
+        out: Cloudsc2Outputs,
+        inputs: Cloudsc2Inputs,
+        reference_path,
+        threshold: float = 10.0,
+        quiet: bool = False,
+    ) -> bool:
+        """VALIDATE with device-resident statistics.
+
+        The golden 100 columns are tiled on device (``_tile_columns``) and
+        every field's five reductions run under jit — only scalars cross
+        the host link, so golden validation works at any NGPTOT without
+        fetching GB of results.  On a mesh the reductions become XLA
+        collectives (≙ the MPI_REDUCEs of validate_mod.F90:149-151 riding
+        ICI).  PLUDE is IN-only for CLOUDSC2 and validates from the input
+        state; TENDENCY_LOC_A and the rain/snow/vapour CLD species are
+        never written and validate as zero (SURVEY Appendix A).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        ncol = int(np.shape(out.pclc)[0])
+        ref_small = cio.load_reference_h5(reference_path)
+        ref = _tile_columns(jax.device_put(ref_small), ncol)
+
+        zeros2d = jnp.zeros_like(out.tenl_t)
+        species = [zeros2d] * NCLV
+        species[NCLDQL] = out.tenl_l
+        species[NCLDQI] = out.tenl_i
+        res = {
+            "PLUDE": inputs.plude,
+            "PCOVPTOT": out.pcovptot,
+            "PFPLSL": out.pfplsl,
+            "PFPLSN": out.pfplsn,
+            "PFHPSL": out.pfhpsl,
+            "PFHPSN": out.pfhpsn,
+            "TENDENCY_LOC_A": zeros2d,
+            "TENDENCY_LOC_T": out.tenl_t,
+            "TENDENCY_LOC_Q": out.tenl_q,
+            "TENDENCY_LOC_CLD": jnp.stack(species, axis=1),
+        }
+        errors = {
+            k: cval.field_errors_jax(k, v, ref[k].astype(v.dtype), ngptot=ncol)
+            for k, v in res.items()
+        }
+        if quiet:
+            return all(e.passed(threshold) for e in errors.values())
+        return cval.print_validation(errors, threshold)
+
     def write_reference(self, out: Cloudsc2Outputs, path) -> None:
         """WRITE_REFERENCE (…array_state_mod.F90:260-287): stores the first
         ``klon_file`` columns in file order (the reference requires

@@ -107,6 +107,26 @@ class PerformanceTimer:
         lane = self._lanes[lane_id]
         lane.t_total += time.perf_counter() - lane.t_start
 
+    # -- SPMD accounting: under single-controller jit all devices execute
+    # the same program in lockstep, so one timed region on the host is
+    # one region on every device lane (≙ the per-thread rows of
+    # timer_mod.F90:124-171, with devices as lanes)
+    def spmd_log(self, num_lanes: int, columns: int):
+        """Attribute one SPMD execution across ``num_lanes`` device lanes;
+        columns split evenly, remainder to lane 0."""
+        per = columns // max(num_lanes, 1)
+        rem = columns - per * num_lanes
+        for d in range(num_lanes):
+            lane = self._lanes.setdefault(d, _Lane(lane_id=d, core_id=d))
+            lane.calls += 1
+            lane.columns += per + (rem if d == 0 else 0)
+
+    def mirror_times(self, num_lanes: int):
+        """Copy lane 0's closed wall time to the other device lanes."""
+        t = self._lanes[0].t_total
+        for d in range(1, num_lanes):
+            self._lanes.setdefault(d, _Lane(lane_id=d, core_id=d)).t_total = t
+
     def end(self):
         self._t1 = time.perf_counter()
 

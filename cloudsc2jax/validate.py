@@ -21,7 +21,13 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["FieldErrors", "field_errors", "validate", "print_validation"]
+__all__ = [
+    "FieldErrors",
+    "field_errors",
+    "field_errors_jax",
+    "validate",
+    "print_validation",
+]
 
 _EPS = np.finfo(np.float64).eps
 
@@ -36,6 +42,10 @@ class FieldErrors:
     zerrsum: float
     zsum: float
     ngptot: int
+    # machine epsilon of the run's working precision: the reference uses
+    # EPSILON(1.0_JPRB), which is eps32 under -DSINGLE (validate_mod.F90:
+    # 285-289 with parkind1.F90:40-44) — so f32 runs are judged in eps32
+    eps: float = _EPS
 
     @property
     def avgpgp(self) -> float:
@@ -44,17 +54,19 @@ class FieldErrors:
     @property
     def relerr(self) -> float:
         """Relative error, reference regimes (validate_mod.F90:271-284)."""
-        if self.zerrsum < _EPS:
+        if self.zerrsum < self.eps:
             return 0.0
-        if self.zsum < _EPS:
+        if self.zsum < self.eps:
             return self.zerrsum / (1.0 + self.zsum)
         return self.zerrsum / self.zsum
 
     def passed(self, threshold: float = 10.0) -> bool:
-        return self.relerr <= threshold * _EPS
+        return self.relerr <= threshold * self.eps
 
 
 def field_errors(name: str, result, reference, ngptot: Optional[int] = None) -> FieldErrors:
+    eps = float(np.finfo(np.asarray(result).dtype).eps) \
+        if np.asarray(result).dtype.kind == "f" else _EPS
     a = np.asarray(result, dtype=np.float64)
     b = np.asarray(reference, dtype=np.float64)
     ncols = a.shape[0]
@@ -67,6 +79,42 @@ def field_errors(name: str, result, reference, ngptot: Optional[int] = None) -> 
         zerrsum=float(np.abs(a - b).sum()),
         zsum=float(np.abs(b).sum()),
         ngptot=int(ngptot if ngptot is not None else ncols),
+        eps=eps,
+    )
+
+
+def field_errors_jax(
+    name: str, result, reference, ngptot: Optional[int] = None
+) -> FieldErrors:
+    """Device-side field statistics: the five reductions run under one
+    jit and only scalars cross the host link.  On sharded arrays XLA
+    emits the cross-device reductions that replace the reference's
+    MPI_REDUCE triple (validate_mod.F90:149-151) — they ride ICI, not
+    the host.  Sums accumulate in float64 when x64 is enabled, else in
+    the result dtype (documented f32-table mode for on-chip runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def stats(a, b):
+        acc = jnp.float64 if jax.config.jax_enable_x64 else a.dtype
+        d = jnp.abs(a - b)
+        return (
+            jnp.min(a), jnp.max(a), jnp.max(d),
+            jnp.sum(d.astype(acc)), jnp.sum(jnp.abs(b).astype(acc)),
+        )
+
+    zmin, zmax, zmaxerr, zerrsum, zsum = [float(s) for s in stats(result, reference)]
+    return FieldErrors(
+        name=name,
+        ndim=np.ndim(result),
+        zminval=zmin,
+        zmaxval=zmax,
+        zmaxerr=zmaxerr,
+        zerrsum=zerrsum,
+        zsum=zsum,
+        ngptot=int(ngptot if ngptot is not None else np.shape(result)[0]),
+        eps=float(jnp.finfo(result.dtype).eps),
     )
 
 

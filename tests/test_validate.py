@@ -2,6 +2,7 @@
 
 import io
 
+import jax
 import numpy as np
 
 from cloudsc2jax.validate import field_errors, print_validation, validate
@@ -59,3 +60,41 @@ def test_stats_fields():
     assert e.zminval == -2.0 and e.zmaxval == 4.0
     assert e.zmaxerr == 1.0
     assert e.avgpgp == 0.5
+
+
+def test_field_errors_jax_matches_host(state, nl_outputs, reference):
+    """Device-side statistics (field_errors_jax) must agree with the host
+    numpy statistics to float rounding, and carry the working-precision
+    epsilon (EPSILON(1.0_JPRB) semantics, validate_mod.F90:285-289)."""
+    import jax.numpy as jnp
+
+    from cloudsc2jax import validate as cval
+
+    a = jnp.asarray(nl_outputs.tenl_t)
+    b = jnp.asarray(reference["TENDENCY_LOC_T"])
+    host = cval.field_errors("TENDENCY_LOC_T", np.asarray(a), np.asarray(b))
+    dev = cval.field_errors_jax("TENDENCY_LOC_T", a, b)
+    assert dev.eps == host.eps == np.finfo(np.float64).eps
+    np.testing.assert_allclose(dev.zmaxerr, host.zmaxerr, rtol=1e-12)
+    np.testing.assert_allclose(dev.zerrsum, host.zerrsum, rtol=1e-12)
+    np.testing.assert_allclose(dev.zsum, host.zsum, rtol=1e-12)
+    assert dev.passed(10.0) == host.passed(10.0)
+
+    f32 = cval.field_errors("x", np.float32(np.asarray(a)), np.float32(np.asarray(b)))
+    assert f32.eps == np.finfo(np.float32).eps
+
+
+def test_validate_device_matches_host_table(state, inputs, nl_outputs, tmp_path):
+    """state.validate_device and the host-side state.validate agree on
+    pass/fail against the golden file."""
+    import pathlib
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    host_ok = state.validate(
+        jax.tree.map(np.asarray, nl_outputs), fixtures / "reference.h5",
+        quiet=True,
+    )
+    dev_ok = state.validate_device(
+        nl_outputs, inputs, fixtures / "reference.h5", quiet=True
+    )
+    assert host_ok == dev_ok == True  # noqa: E712
