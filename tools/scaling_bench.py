@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--percols", type=int, default=16384, help="columns per device")
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--backend", choices=["xla", "pallas"], default="xla",
+                    help="pallas = fused kernel SPMD-wrapped per device "
+                         "(shard_map); add --interpret off-TPU")
+    ap.add_argument("--variant", choices=["nl", "tlad"], default="nl",
+                    help="nl = forward sweep; tlad = fused NL+TL+AD work unit")
+    ap.add_argument("--interpret", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -57,9 +63,29 @@ def main():
             break
         mesh = dist.column_mesh(all_devices[:nd])
         ng = args.percols * nd
-        state = Cloudsc2State.synthetic(ngptot=ng, nlev=137)
-        inputs = dist.shard_inputs(state.kernel_inputs(dtype=dtype), mesh)
-        fn = jax.jit(partial(cloudsc2, params=state.params))
+        state = Cloudsc2State.synthetic(ngptot=100, nlev=137)
+        # device-side expansion: host never materialises ng columns
+        inputs = dist.shard_inputs(
+            state.device_kernel_inputs(ng, dtype=dtype), mesh
+        )
+        if args.variant == "tlad":
+            from cloudsc2jax.drivers import run_tlad
+
+            fn = partial(
+                run_tlad, params=state.params, lregcl=True,
+                backend=args.backend,
+                mesh=mesh if args.backend == "pallas" else None,
+            )
+        elif args.backend == "pallas":
+            from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
+
+            kfn = partial(
+                cloudsc2_pallas, params=state.params,
+                interpret=args.interpret,
+            )
+            fn = jax.jit(dist.shard_map_columns(kfn, mesh, inputs))
+        else:
+            fn = jax.jit(partial(cloudsc2, params=state.params))
         jax.block_until_ready(fn(inputs))
         times = []
         for i in range(args.repeats):
