@@ -30,6 +30,8 @@ def main():
     ngptot = int(os.environ.get("CLOUDSC2_BENCH_NGPTOT", 163840))
     repeats = int(os.environ.get("CLOUDSC2_BENCH_REPEATS", 20))
     use_pallas = os.environ.get("CLOUDSC2_BENCH_PALLAS", "1") == "1"
+    # "nl" (headline) or "tlad" (fused forward+TL+AD work unit)
+    variant = os.environ.get("CLOUDSC2_BENCH_VARIANT", "nl")
     platform = jax.devices()[0].platform
 
     # expand the 100 stored columns to ngptot ON DEVICE: host-side
@@ -40,7 +42,15 @@ def main():
 
     from functools import partial
 
-    if use_pallas and platform == "tpu":
+    if variant == "tlad":
+        from cloudsc2jax.drivers import run_tlad
+
+        backend = "pallas" if (use_pallas and platform == "tpu") else "xla"
+        sublanes = int(os.environ.get("CLOUDSC2_BENCH_SUBLANES", 64))
+        fn = partial(run_tlad, params=state.params, lregcl=True,
+                     backend=backend, sublanes=sublanes)
+        impl = backend
+    elif use_pallas and platform == "tpu":
         from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
 
         sublanes = int(os.environ.get("CLOUDSC2_BENCH_SUBLANES", 128))
@@ -65,7 +75,9 @@ def main():
 
     def scalar_step(v):
         out = fn(v)
-        return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+        return sum(
+            jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
+        )
 
     scalar_step = jax.jit(scalar_step)
 
@@ -101,7 +113,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"nl_columns_per_second_{impl}_{platform}",
+                "metric": f"{variant}_columns_per_second_{impl}_{platform}",
                 "value": round(cols_per_s, 1),
                 "unit": "columns/s/chip",
                 "vs_baseline": round(cols_per_s / baseline_cols_per_s, 3),

@@ -136,13 +136,14 @@ class _Layout:
     def specs(self, rev: bool):
         blk = (1, 1, self.sublanes, 128)
         nlev = self.nlev
-        lev = rev and (lambda b, k: (nlev - 1 - k, b, 0, 0)) or (
-            lambda b, k: (k, b, 0, 0))
-        plu = rev and (
-            lambda b, k: (jnp.minimum(nlev - k, nlev - 1), b, 0, 0)
-        ) or (lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0))
-        hi = rev and (lambda b, k: (nlev - k, b, 0, 0)) or (
-            lambda b, k: (k + 1, b, 0, 0))
+        if rev:
+            lev = lambda b, k: (nlev - 1 - k, b, 0, 0)
+            plu = lambda b, k: (jnp.minimum(nlev - k, nlev - 1), b, 0, 0)
+            hi = lambda b, k: (nlev - k, b, 0, 0)
+        else:
+            lev = lambda b, k: (k, b, 0, 0)
+            plu = lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0)
+            hi = lambda b, k: (k + 1, b, 0, 0)
         mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
         lev_s, plu_s, hi_s = mk(lev), mk(plu), mk(hi)
         col_s = pl.BlockSpec(
@@ -173,8 +174,8 @@ class _Layout:
         return [pltpu.VMEM((self.sublanes, 128), self.dtype)] * n
 
 
-def _assemble_outputs(lay: _Layout, params: Params, outs, levels_major: bool,
-                      tangent: bool = False) -> Cloudsc2Outputs:
+def _assemble_outputs(lay: _Layout, params: Params, outs,
+                      levels_major: bool) -> Cloudsc2Outputs:
     """(8 level streams) -> Cloudsc2Outputs with flux/enthalpy assembly
     (cloudsc2.F90:694-735).  Linear, so valid for tangents too."""
     tent, tenq, tenl, teni, pclc, pcov, rfln, sfln = [
