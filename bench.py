@@ -55,11 +55,23 @@ def main():
 
         sublanes = int(os.environ.get("CLOUDSC2_BENCH_SUBLANES", 128))
         mode = os.environ.get("CLOUDSC2_BENCH_MODE", "stream")
-        fn = jax.jit(
-            partial(cloudsc2_pallas, params=state.params,
-                    sublanes=sublanes, mode=mode)
-        )
-        impl = "pallas"
+        layout = os.environ.get("CLOUDSC2_BENCH_LAYOUT", "blocked")
+        if layout == "blocked" and mode == "stream":
+            # zero-relayout path: inputs generated straight into kernel
+            # layout, outputs consumed blocked (see DESIGN.md §3)
+            inputs = state.device_kernel_inputs(
+                ngptot, dtype=np.float32, blocked_sublanes=sublanes
+            )
+            fn = jax.jit(
+                partial(cloudsc2_pallas, params=state.params, blocked=True)
+            )
+            impl = "pallas_blocked"
+        else:
+            fn = jax.jit(
+                partial(cloudsc2_pallas, params=state.params,
+                        sublanes=sublanes, mode=mode)
+            )
+            impl = "pallas"
     else:
         from cloudsc2jax.physics.cloudsc2 import cloudsc2
 
@@ -75,6 +87,13 @@ def main():
 
     def scalar_step(v):
         out = fn(v)
+        if impl == "pallas_blocked":
+            # pallas_call is an opaque custom call: consuming any slice
+            # forces the whole execution without adding a full-array
+            # reduction pass to the measurement
+            return sum(
+                jnp.sum(jnp.ravel(o)[:2]) for o in jax.tree.leaves(out)
+            )
         return sum(
             jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
         )

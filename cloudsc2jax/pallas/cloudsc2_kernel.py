@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +49,11 @@ from ..physics.cloudsc2 import (
     _crit_rel_humidity,
 )
 
-__all__ = ["cloudsc2_pallas"]
+__all__ = [
+    "cloudsc2_pallas",
+    "Cloudsc2BlockedOutputs",
+    "unblock_outputs",
+]
 
 # raw per-level streams fed to the kernel, in order
 _LEVEL_FIELDS = (
@@ -397,14 +402,65 @@ def _resident_kernel(*refs, params: Params, ldrain1d: bool, nlev: int):
 
 
 def _tropopause_eta_lm(ztp1_lm, ceta):
-    """Tropopause eta for (nlev, ncol) layout (cloudsc2.F90:314-326)."""
+    """Tropopause eta, levels leading: ``(nlev, ...)`` any trailing shape
+    (cloudsc2.F90:314-326)."""
+    tail = (None,) * (ztp1_lm.ndim - 1)
+    sl = (slice(None),) + tail
     mask = (
-        (ceta[:-1] > 0.1)[:, None]
-        & (ceta[:-1] < 0.4)[:, None]
+        (ceta[:-1] > 0.1)[sl]
+        & (ceta[:-1] < 0.4)[sl]
         & (ztp1_lm[:-1] > ztp1_lm[1:])
     )
-    cand = jnp.where(mask, jax.lax.stop_gradient(ceta[:-1])[:, None], 0.1)
+    cand = jnp.where(mask, jax.lax.stop_gradient(ceta[:-1])[sl], 0.1)
     return jnp.max(cand, axis=0)
+
+
+class Cloudsc2BlockedOutputs(NamedTuple):
+    """Raw kernel output streams in blocked layout ``(nlev, nb, S, 128)``.
+
+    The zero-copy fast path: reshaping blocked streams back to
+    ``(ncol, nlev)`` is a physical relayout on TPU (tiled layouts), which
+    costs more than the kernel itself at 160k columns — callers that can
+    consume blocked data (benchmarks, device-side validation, downstream
+    blocked ops) should.  ``unblock_outputs`` converts to the standard
+    :class:`Cloudsc2Outputs` contract (flux top row + enthalpy fluxes,
+    cloudsc2.F90:694-735).
+    """
+
+    tenl_t: jax.Array
+    tenl_q: jax.Array
+    tenl_l: jax.Array
+    tenl_i: jax.Array
+    pclc: jax.Array
+    pcovptot: jax.Array
+    rfln: jax.Array
+    sfln: jax.Array
+
+
+def unblock_outputs(
+    out: Cloudsc2BlockedOutputs, params: Params, ncol: int,
+    levels_major: bool = False,
+) -> Cloudsc2Outputs:
+    """Blocked streams -> standard Cloudsc2Outputs (slow relayout path)."""
+    def from_blocks(x):
+        return x.reshape(x.shape[0], -1)[:, :ncol]
+
+    tent, tenq, tenl, teni, pclc, pcov, rfln, sfln = [
+        from_blocks(o) for o in out
+    ]
+    top = jnp.zeros((1, ncol), rfln.dtype)
+    pfplsl = jnp.concatenate([top, rfln], axis=0)
+    pfplsn = jnp.concatenate([top, sfln], axis=0)
+    res = Cloudsc2Outputs(
+        tenl_t=tent, tenl_q=tenq, tenl_l=tenl, tenl_i=teni, pclc=pclc,
+        pfplsl=pfplsl, pfplsn=pfplsn,
+        pfhpsl=-pfplsl * params.yomcst.rlvtt,
+        pfhpsn=-pfplsn * params.yomcst.rlstt,
+        pcovptot=pcov,
+    )
+    if not levels_major:
+        res = Cloudsc2Outputs(*(x.T for x in res))
+    return res
 
 
 def cloudsc2_pallas(
@@ -415,6 +471,7 @@ def cloudsc2_pallas(
     sublanes: int = 128,
     mode: str = "stream",
     levels_major: bool = False,
+    blocked: bool = False,
     interpret: bool = False,
 ) -> Cloudsc2Outputs:
     """Fused-kernel CLOUDSC2; drop-in for :func:`cloudsc2` (f32 path).
@@ -425,21 +482,37 @@ def cloudsc2_pallas(
     ``(ncol, nlev)`` layout.  Columns are padded to a multiple of
     ``sublanes*128`` (padding replicates column 0 — inputs are
     tile-replicated upstream anyway, expand_mod.F90 semantics).
+
+    ``blocked=True`` is the zero-RELAYOUT fast path: inputs arrive
+    already in kernel layout ``(nlev[,+1], nb, S, 128)`` (e.g. from
+    ``Cloudsc2State.device_kernel_inputs(..., blocked_sublanes=S)``) and
+    the raw output streams are returned as
+    :class:`Cloudsc2BlockedOutputs` without reshaping.  Measured on v5e:
+    the (nlev, ncol) <-> blocked reshape is a physical tiled-layout copy
+    that costs more than the whole kernel at 160k columns — this path
+    runs the sweep at the streaming-pipeline speed of light (~390 GB/s).
     """
     if mode not in ("stream", "resident"):
         raise ValueError(f"unknown mode {mode!r}")
+    if blocked and mode != "stream":
+        raise ValueError("blocked layout supports mode='stream' only")
 
     arrs = {k: jnp.asarray(v) for k, v in inputs._asdict().items()}
-    if not levels_major:
-        arrs = {k: v.T for k, v in arrs.items()}
-    # from here on everything is (nlev[,+1], ncol)
-    nlev, ncol = arrs["pt"].shape
+    if blocked:
+        nlev, nb, sublanes, _ = arrs["pt"].shape
+        ncol = None
+        bc = sublanes * 128
+        npad = 0
+    else:
+        if not levels_major:
+            arrs = {k: v.T for k, v in arrs.items()}
+        # from here on everything is (nlev[,+1], ncol)
+        nlev, ncol = arrs["pt"].shape
+        bc = sublanes * 128
+        nb = max(1, math.ceil(ncol / bc))
+        npad = nb * bc - ncol
     dtype = arrs["pt"].dtype
     ptsphy = params.ptsphy
-
-    bc = sublanes * 128
-    nb = max(1, math.ceil(ncol / bc))
-    npad = nb * bc - ncol
 
     def padcols(x):  # (..., ncol) -> (..., nb*bc)
         if npad == 0:
@@ -450,20 +523,27 @@ def cloudsc2_pallas(
 
     ceta = jnp.asarray(params.ceta, dtype)
     ztp1 = arrs["pt"] + ptsphy * arrs["ten_t"]
-    ztrpaus = _tropopause_eta_lm(ztp1, ceta)
+    ztrpaus = _tropopause_eta_lm(ztp1, ceta)  # (ncol,) or (nb, S, 128)
     paph_sfc = arrs["paph"][nlev]
     zscalm = (_ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2).astype(dtype)
     notlast = (jnp.arange(nlev) < nlev - 1).astype(jnp.int32)
 
-    def to_blocks(x):  # (L, ncol) -> (L, nb, S, 128): pure reshape
-        L = x.shape[0]
-        return padcols(x).reshape(L, nb, sublanes, 128)
+    if blocked:
+        lev_blocks = [arrs[name] for name in _LEVEL_FIELDS]
+        plu_b = arrs["plu"]
+        paph_b = arrs["paph"]  # (nlev+1, nb, S, 128)
+        ztrpaus_b = ztrpaus
+        paphsfc_b = paph_sfc
+    else:
+        def to_blocks(x):  # (L, ncol) -> (L, nb, S, 128): pure reshape
+            L = x.shape[0]
+            return padcols(x).reshape(L, nb, sublanes, 128)
 
-    lev_blocks = [to_blocks(arrs[name]) for name in _LEVEL_FIELDS]
-    plu_b = to_blocks(arrs["plu"])
-    paph_b = to_blocks(arrs["paph"])  # (nlev+1, nb, S, 128)
-    ztrpaus_b = padcols(ztrpaus).reshape(nb, sublanes, 128)
-    paphsfc_b = padcols(paph_sfc).reshape(nb, sublanes, 128)
+        lev_blocks = [to_blocks(arrs[name]) for name in _LEVEL_FIELDS]
+        plu_b = to_blocks(arrs["plu"])
+        paph_b = to_blocks(arrs["paph"])  # (nlev+1, nb, S, 128)
+        ztrpaus_b = padcols(ztrpaus).reshape(nb, sublanes, 128)
+        paphsfc_b = padcols(paph_sfc).reshape(nb, sublanes, 128)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (nlev,1) array
 
@@ -543,6 +623,9 @@ def cloudsc2_pallas(
         ceta.reshape(nlev, 1), zscalm.reshape(nlev, 1), notlast.reshape(nlev, 1),
         *operands,
     )
+
+    if blocked:
+        return Cloudsc2BlockedOutputs(*outs)
 
     def from_blocks(x):  # (nlev, nb, S, 128) -> (nlev, ncol): pure reshape
         return x.reshape(nlev, nb * bc)[:, :ncol]

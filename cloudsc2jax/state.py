@@ -146,7 +146,7 @@ class Cloudsc2State:
 
     def device_kernel_inputs(
         self, ngptot: Optional[int] = None, dtype=None,
-        levels_major: bool = False,
+        levels_major: bool = False, blocked_sublanes: Optional[int] = None,
     ) -> Cloudsc2Inputs:
         """Kernel inputs expanded to ``ngptot`` columns ON DEVICE.
 
@@ -156,6 +156,12 @@ class Cloudsc2State:
         slow/shared host CPU.  Here only the ``klon_file`` stored columns
         are transferred (~1 MB) and XLA tiles them cyclically on the
         accelerator — identical values, accelerator-speed expansion.
+
+        ``blocked_sublanes=S`` generates straight into the Pallas kernel
+        layout ``(nlev[,+1], nb, S, 128)`` (columns rounded up to a
+        multiple of S*128 with replicas), for
+        ``cloudsc2_pallas(..., blocked=True)`` — the generation pass IS
+        the relayout, so the kernel sees zero extra copies.
         """
         import jax
 
@@ -164,6 +170,23 @@ class Cloudsc2State:
             *(np.asarray(x)[: self.klon_file]
               for x in self._kernel_inputs_cm(dtype=dtype))
         )
+        if blocked_sublanes is not None:
+            import jax.numpy as jnp
+            from functools import partial
+
+            S = blocked_sublanes
+            bc = S * 128
+            nb = -(-ngptot // bc)
+            klon = self.klon_file
+
+            @partial(jax.jit, static_argnums=(1, 2, 3))
+            def blockify(b, nb, S, klon):
+                idx = jnp.arange(nb * S * 128) % klon
+                return Cloudsc2Inputs(
+                    *(x.T[:, idx].reshape(x.shape[1], nb, S, 128) for x in b)
+                )
+
+            return blockify(jax.device_put(base), nb, S, klon)
         tiled = _tile_columns(jax.device_put(base), ngptot)
         if levels_major:
             tiled = Cloudsc2Inputs(*(x.T for x in tiled))

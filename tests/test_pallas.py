@@ -55,3 +55,25 @@ def test_pallas_resident_mode_matches(state, f32_inputs):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() / scale < 5e-6, name
+
+
+def test_pallas_blocked_path_matches(state):
+    """The zero-relayout blocked path (inputs generated in kernel layout,
+    outputs returned blocked) must match the standard path exactly."""
+    import jax
+    import numpy as np
+
+    from cloudsc2jax.pallas.cloudsc2_kernel import unblock_outputs
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    ncol = 256
+    std = st.device_kernel_inputs(ncol, dtype=np.float32)
+    blk = st.device_kernel_inputs(ncol, dtype=np.float32, blocked_sublanes=1)
+    ref = cloudsc2_pallas(std, st.params, sublanes=1, interpret=True)
+    bout = cloudsc2_pallas(blk, st.params, blocked=True, interpret=True)
+    out = unblock_outputs(bout, st.params, ncol)
+    for name, a, b in zip(ref._fields, out, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-6, name
