@@ -45,8 +45,14 @@ def main():
     if variant == "tlad":
         from cloudsc2jax.drivers import run_tlad
 
-        backend = "pallas" if (use_pallas and platform == "tpu") else "xla"
         sublanes = int(os.environ.get("CLOUDSC2_BENCH_SUBLANES", 64))
+        if use_pallas and platform == "tpu":
+            backend = "pallas_blocked"
+            inputs = state.device_kernel_inputs(
+                ngptot, dtype=np.float32, blocked_sublanes=sublanes
+            )
+        else:
+            backend = "xla"
         fn = partial(run_tlad, params=state.params, lregcl=True,
                      backend=backend, sublanes=sublanes)
         impl = backend
@@ -87,11 +93,18 @@ def main():
 
     def scalar_step(v):
         out = fn(v)
-        if impl == "pallas_blocked":
+        if "blocked" in impl:
             # pallas_call is an opaque custom call: consuming any slice
             # forces the whole execution without adding a full-array
-            # reduction pass to the measurement
-            return sum(
+            # reduction pass to the measurement.  The adjoint's paph/plu
+            # streams are XLA-assembled (shift-scatter) after the reverse
+            # kernel — sum those fully so the assembly cannot be DCE'd.
+            extra = jnp.float32(0.0)
+            if variant == "tlad":
+                adj = out[2]
+                extra = (jnp.sum(adj.paph.astype(jnp.float32))
+                         + jnp.sum(adj.plu.astype(jnp.float32)))
+            return extra + sum(
                 jnp.sum(jnp.ravel(o)[:2]) for o in jax.tree.leaves(out)
             )
         return sum(

@@ -109,8 +109,20 @@ def main(argv=None):
         else Cloudsc2State.synthetic(ngptot=min(ngptot, 100))
     )
     state.ngptot = ngptot
-    inputs = state.device_kernel_inputs(ngptot, dtype=dtype)
-    inputs = dist.shard_inputs(inputs, mesh)
+    # single-device --pallas tlad runs use the zero-relayout blocked
+    # layout (kernel-native operands; the column axis is inside the
+    # blocks, so mesh sharding does not apply — multi-device keeps the
+    # standard layout + shard_map)
+    use_blocked = (
+        args.pallas and args.variant == "tlad" and len(devices) == 1
+    )
+    if use_blocked:
+        inputs = state.device_kernel_inputs(
+            ngptot, dtype=dtype, blocked_sublanes=64
+        )
+    else:
+        inputs = state.device_kernel_inputs(ngptot, dtype=dtype)
+        inputs = dist.shard_inputs(inputs, mesh)
 
     print(
         f"     NUMPROC={jax.process_count()}, NUMDEV={len(devices)},"
@@ -199,7 +211,10 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         from .drivers import run_tlad
 
         nproma = args.nproma if args.nproma < ngptot else None
-        backend = "pallas" if args.pallas else "xla"
+        if args.pallas:
+            backend = "pallas" if multi else "pallas_blocked"
+        else:
+            backend = "xla"
         tlad_mesh = mesh if (multi and args.pallas) else None
         timer.thread_start(0)
         res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,

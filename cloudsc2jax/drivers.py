@@ -144,18 +144,25 @@ _TLAD_CACHE: dict = {}
 def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes):
     from functools import partial as _partial
 
-    if backend == "pallas":
-        from .pallas.tlad_kernel import cloudsc2_pallas_ad, cloudsc2_pallas_tl
+    if backend in ("pallas", "pallas_blocked"):
+        from .pallas.tlad_kernel import (
+            cloudsc2_pallas_ad,
+            cloudsc2_pallas_tl,
+            fold_flux_seeds,
+        )
+
+        blocked = backend == "pallas_blocked"
 
         def pstep(i):
             di = jax.tree.map(lambda x: 0.01 * x, i)
             out, dout = cloudsc2_pallas_tl(
                 i, di, params, lregcl=lregcl, ldrain1d=ldrain1d,
-                sublanes=sublanes,
+                sublanes=sublanes, blocked=blocked,
             )
+            seeds = fold_flux_seeds(dout, params) if blocked else dout
             _, adj = cloudsc2_pallas_ad(
-                i, dout, params, lregcl=lregcl, ldrain1d=ldrain1d,
-                sublanes=sublanes,
+                i, seeds, params, lregcl=lregcl, ldrain1d=ldrain1d,
+                sublanes=sublanes, blocked=blocked,
             )
             return out, dout, adj
 

@@ -61,6 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import Params
 from ..physics.cloudsc2 import Cloudsc2Inputs, Cloudsc2Outputs
 from .cloudsc2_kernel import (
+    Cloudsc2BlockedOutputs,
     N_LEVEL_FIELDS,
     N_OUTPUTS,
     _LEVEL_FIELDS,
@@ -70,7 +71,25 @@ from .cloudsc2_kernel import (
     _tropopause_eta_lm,
 )
 
-__all__ = ["cloudsc2_pallas_tl", "cloudsc2_pallas_ad"]
+__all__ = ["cloudsc2_pallas_tl", "cloudsc2_pallas_ad", "fold_flux_seeds"]
+
+
+def fold_flux_seeds(d_out: Cloudsc2BlockedOutputs, params: Params):
+    """Fold the 10-field output cotangent into 8 blocked seed streams.
+
+    The standard contract exposes rain/snow fluxes twice — as PFPLSL/N
+    (shifted by the zero top row) and as enthalpy fluxes
+    PFHPSL/N = -RLVTT/RLSTT x flux (cloudsc2.F90:730-735).  Seeding the
+    blocked adjoint with a cotangent defined on those 10 fields therefore
+    scales the flux streams by (1 + L**2); the work-unit convention
+    (adjoint seeded with the TL image itself,
+    cloudsc_driver_ad_mod.F90:216-237) uses exactly this fold.
+    """
+    cst = params.yomcst
+    return d_out._replace(
+        rfln=d_out.rfln * (1.0 + cst.rlvtt**2),
+        sfln=d_out.sfln * (1.0 + cst.rlstt**2),
+    )
 
 _NF = N_LEVEL_FIELDS + 3  # raw level streams + plu(k+1), paph(k), paph(k+1)
 
@@ -87,17 +106,26 @@ class _Layout:
     """
 
     def __init__(self, inputs: Cloudsc2Inputs, params: Params,
-                 sublanes: int, levels_major: bool):
+                 sublanes: int, levels_major: bool, blocked: bool = False):
         arrs = {k: jnp.asarray(v) for k, v in inputs._asdict().items()}
-        if not levels_major:
-            arrs = {k: v.T for k, v in arrs.items()}
+        self.blocked = blocked
+        if blocked:
+            # operands already in kernel layout (nlev[,+1], nb, S, 128):
+            # the zero-relayout fast path (see cloudsc2_kernel docstring)
+            self.nlev, self.nb, self.sublanes, _ = arrs["pt"].shape
+            self.ncol = None
+            self.bc = self.sublanes * 128
+            self.npad = 0
+        else:
+            if not levels_major:
+                arrs = {k: v.T for k, v in arrs.items()}
+            self.nlev, self.ncol = arrs["pt"].shape
+            self.sublanes = sublanes
+            self.bc = sublanes * 128
+            self.nb = max(1, math.ceil(self.ncol / self.bc))
+            self.npad = self.nb * self.bc - self.ncol
         self.arrs = arrs
-        self.nlev, self.ncol = arrs["pt"].shape
         self.dtype = arrs["pt"].dtype
-        self.sublanes = sublanes
-        self.bc = sublanes * 128
-        self.nb = max(1, math.ceil(self.ncol / self.bc))
-        self.npad = self.nb * self.bc - self.ncol
 
         ceta = jnp.asarray(params.ceta, self.dtype)
         self.ceta = ceta
@@ -118,12 +146,18 @@ class _Layout:
         )
 
     def to_blocks(self, x):  # (L, ncol) -> (L, nb, S, 128)
+        if self.blocked:
+            return x
         return self.padcols(x).reshape(x.shape[0], self.nb, self.sublanes, 128)
 
     def colblocks(self, x):  # (ncol,) -> (nb, S, 128)
+        if self.blocked:
+            return x  # already (nb, S, 128)
         return self.padcols(x).reshape(self.nb, self.sublanes, 128)
 
     def from_blocks(self, x):  # (L, nb, S, 128) -> (L, ncol)
+        if self.blocked:
+            return x
         return x.reshape(x.shape[0], self.nb * self.bc)[:, : self.ncol]
 
     def level_operands(self, arrs):
@@ -268,16 +302,21 @@ def cloudsc2_pallas_tl(
     ldrain1d: bool = False,
     sublanes: int = 64,
     levels_major: bool = False,
+    blocked: bool = False,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Outputs]:
     """Fused-kernel tangent-linear CLOUDSC2: returns (outputs, d_outputs).
 
     Drop-in for :func:`cloudsc2jax.tlad.cloudsc2_tl` on the f32 TPU path
     (≙ CLOUDSC2TL, cloudsc2tl.F90:10-24: one sweep, trajectory recomputed
-    alongside the linear propagation, nothing stored)."""
-    lay = _Layout(inputs, params, sublanes, levels_major)
+    alongside the linear propagation, nothing stored).
+
+    ``blocked=True``: inputs/increments arrive in kernel layout
+    ``(nlev[,+1], nb, S, 128)`` and both results return as
+    :class:`Cloudsc2BlockedOutputs` — the zero-relayout path."""
+    lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
     d_arrs = {k: jnp.asarray(v, lay.dtype) for k, v in d_inputs._asdict().items()}
-    if not levels_major:
+    if not (levels_major or blocked):
         d_arrs = {k: v.T for k, v in d_arrs.items()}
 
     lev_s_list = lay.field_specs(rev=False)
@@ -309,6 +348,9 @@ def cloudsc2_pallas_tl(
         lay.ztrpaus_b, lay.paphsfc_b,
         lay.colblocks(d_arrs["paph"][lay.nlev]),
     )
+    if blocked:
+        return (Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS]),
+                Cloudsc2BlockedOutputs(*outs[N_OUTPUTS:]))
     out = _assemble_outputs(lay, params, outs[:N_OUTPUTS], levels_major)
     d_out = _assemble_outputs(lay, params, outs[N_OUTPUTS:], levels_major)
     return out, d_out
@@ -405,14 +447,20 @@ def cloudsc2_pallas_ad(
     ldrain1d: bool = False,
     sublanes: int = 64,
     levels_major: bool = False,
+    blocked: bool = False,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Inputs]:
     """Fused-kernel adjoint CLOUDSC2: returns (outputs, input_adjoints).
 
     Drop-in for :func:`cloudsc2jax.tlad.cloudsc2_ad` on the f32 TPU path
     (≙ CLOUDSC2AD, cloudsc2ad.F90:177-202): forward checkpoint sweep +
-    reverse accumulation sweep, seeded with output adjoints."""
-    lay = _Layout(inputs, params, sublanes, levels_major)
+    reverse accumulation sweep, seeded with output adjoints.
+
+    ``blocked=True``: inputs arrive in kernel layout, ``d_outputs`` is a
+    :class:`Cloudsc2BlockedOutputs` cotangent (use
+    :func:`fold_flux_seeds` if it represents the 10-field contract), and
+    (outputs, input_adjoints) return blocked."""
+    lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
     lev_fwd = lay.field_specs(rev=False)
     lev_rev = lay.field_specs(rev=True)
     _, _, _, col_s, smem_s = lay.specs(rev=False)
@@ -438,7 +486,10 @@ def cloudsc2_pallas_ad(
     outs, ckpts = fwd[:N_OUTPUTS], fwd[N_OUTPUTS:]
 
     # ---- reverse sweep
-    seeds = _seed_streams(lay, params, d_outputs, levels_major)
+    if blocked:
+        seeds = tuple(jnp.asarray(s, lay.dtype) for s in d_outputs)
+    else:
+        seeds = _seed_streams(lay, params, d_outputs, levels_major)
     rev = pl.pallas_call(
         functools.partial(
             _rev_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
@@ -462,9 +513,12 @@ def cloudsc2_pallas_ad(
 
     dlev = [lay.from_blocks(x) for x in rev[:_NF]]
     d_plu_k1, d_paph_lo, d_paph_hi = dlev[N_LEVEL_FIELDS:]
-    dpaphsfc = rev[_NF].reshape(lay.nb * lay.bc)[: lay.ncol]
-
-    zrow = jnp.zeros((1, lay.ncol), lay.dtype)
+    if blocked:
+        dpaphsfc = rev[_NF]  # (nb, S, 128)
+        zrow = jnp.zeros((1,) + d_plu_k1.shape[1:], lay.dtype)
+    else:
+        dpaphsfc = rev[_NF].reshape(lay.nb * lay.bc)[: lay.ncol]
+        zrow = jnp.zeros((1, lay.ncol), lay.dtype)
     d = dict(zip(_LEVEL_FIELDS, dlev[:N_LEVEL_FIELDS]))
     # scatter the shifted-view adjoints back onto their source buffers:
     # plu(k+1) reads mean d_plu[k] = d_plu_k1[k-1] (level 0 is never read
@@ -482,6 +536,8 @@ def cloudsc2_pallas_ad(
         pmfu=d["pmfu"], pmfd=d["pmfd"], ten_t=d["ten_t"], ten_q=d["ten_q"],
         ten_l=d["ten_l"], ten_i=d["ten_i"], psupsat=d["psupsat"],
     )
+    if blocked:
+        return Cloudsc2BlockedOutputs(*outs), d_in
     out = _assemble_outputs(lay, params, outs, levels_major)
     if not levels_major:
         d_in = Cloudsc2Inputs(*(x.T for x in d_in))

@@ -105,3 +105,42 @@ def test_tl_kernel_levels_major(state, f32_inputs, f32_increments):
     )
     for a, b in zip(lm_dout, ref_dout):
         np.testing.assert_array_equal(np.asarray(a).T, np.asarray(b))
+
+
+def test_blocked_tlad_matches_standard(state):
+    """Blocked-layout TL and AD kernels (zero-relayout path) match the
+    standard-layout kernels, including the 10-field flux-seed fold."""
+    from cloudsc2jax.pallas.cloudsc2_kernel import unblock_outputs
+    from cloudsc2jax.pallas.tlad_kernel import fold_flux_seeds
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    params = st.params
+    ncol = 256
+    std = st.device_kernel_inputs(ncol, dtype=np.float32)
+    blk = st.device_kernel_inputs(ncol, dtype=np.float32, blocked_sublanes=1)
+    d_std = jax.tree.map(lambda x: 0.01 * x, std)
+    d_blk = jax.tree.map(lambda x: 0.01 * x, blk)
+
+    out_s, dout_s = cloudsc2_pallas_tl(
+        std, d_std, params, lregcl=True, sublanes=1, interpret=True
+    )
+    out_b, dout_b = cloudsc2_pallas_tl(
+        blk, d_blk, params, lregcl=True, blocked=True, interpret=True
+    )
+    dout_bu = unblock_outputs(dout_b, params, ncol)
+    _assert_tree_close(dout_bu, dout_s, 1e-5, "blocked TL tangent")
+
+    _, adj_s = cloudsc2_pallas_ad(
+        std, dout_s, params, lregcl=True, sublanes=1, interpret=True
+    )
+    _, adj_b = cloudsc2_pallas_ad(
+        blk, fold_flux_seeds(dout_b, params), params, lregcl=True,
+        blocked=True, interpret=True,
+    )
+    for name, a, b in zip(adj_s._fields, adj_b, adj_s):
+        a = np.asarray(a)
+        a = a.reshape(a.shape[0], -1)[:, :ncol].T
+        b = np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-4, name
