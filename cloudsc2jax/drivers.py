@@ -155,14 +155,27 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes):
 
         def pstep(i):
             di = jax.tree.map(lambda x: 0.01 * x, i)
+            if blocked:
+                # TL streams out the 3 carry checkpoints so the adjoint
+                # runs reverse-sweep-only — one full forward sweep of
+                # HBM traffic deleted from the work unit
+                out, dout, ckpts = cloudsc2_pallas_tl(
+                    i, di, params, lregcl=lregcl, ldrain1d=ldrain1d,
+                    sublanes=sublanes, blocked=True, save_checkpoints=True,
+                )
+                _, adj = cloudsc2_pallas_ad(
+                    i, fold_flux_seeds(dout, params), params, lregcl=lregcl,
+                    ldrain1d=ldrain1d, sublanes=sublanes, blocked=True,
+                    checkpoints=ckpts,
+                )
+                return out, dout, adj
             out, dout = cloudsc2_pallas_tl(
                 i, di, params, lregcl=lregcl, ldrain1d=ldrain1d,
-                sublanes=sublanes, blocked=blocked,
+                sublanes=sublanes,
             )
-            seeds = fold_flux_seeds(dout, params) if blocked else dout
             _, adj = cloudsc2_pallas_ad(
-                i, seeds, params, lregcl=lregcl, ldrain1d=ldrain1d,
-                sublanes=sublanes, blocked=blocked,
+                i, dout, params, lregcl=lregcl, ldrain1d=ldrain1d,
+                sublanes=sublanes,
             )
             return out, dout, adj
 

@@ -250,15 +250,21 @@ def _seed_streams(lay: _Layout, params: Params, d_outputs: Cloudsc2Outputs,
 
 
 # ------------------------------------------------------------------ TL
-def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool):
+def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
+               save_ckpt: bool = False):
     """Fused trajectory+tangent level step (≙ cloudsc2tl.F90 dual
-    statements); primal and tangent carries in VMEM scratch."""
+    statements); primal and tangent carries in VMEM scratch.
+
+    ``save_ckpt`` additionally streams out the per-level primal carry-IN
+    (3 streams) so a following reverse sweep can skip its own forward
+    sweep entirely (the fused work unit's byte diet)."""
     ceta_ref, zscalm_ref, notlast_ref, *rest = refs
     lev_refs, rest = rest[:_NF], rest[_NF:]
     dlev_refs, rest = rest[:_NF], rest[_NF:]
     ztrpaus_ref, paphsfc_ref, dpaphsfc_ref = rest[:3]
-    out_refs = rest[3 : 3 + 2 * N_OUTPUTS]
-    rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s = rest[3 + 2 * N_OUTPUTS :]
+    nout = 2 * N_OUTPUTS + (3 if save_ckpt else 0)
+    out_refs = rest[3 : 3 + nout]
+    rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s = rest[3 + nout :]
 
     k = pl.program_id(1)
 
@@ -277,6 +283,9 @@ def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool):
     dcols = (jnp.zeros_like(ztrpaus), dpaphsfc_ref[0])
     carry = (rfl_s[...], sfl_s[...], cov_s[...])
     dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
+    if save_ckpt:
+        for r, v in zip(out_refs[2 * N_OUTPUTS :], carry):
+            r[0, 0] = v
 
     def f(fl, co, ca):
         return _level_physics(params, ldrain1d, scalars, fl, co, ca,
@@ -303,6 +312,7 @@ def cloudsc2_pallas_tl(
     sublanes: int = 64,
     levels_major: bool = False,
     blocked: bool = False,
+    save_checkpoints: bool = False,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Outputs]:
     """Fused-kernel tangent-linear CLOUDSC2: returns (outputs, d_outputs).
@@ -313,7 +323,14 @@ def cloudsc2_pallas_tl(
 
     ``blocked=True``: inputs/increments arrive in kernel layout
     ``(nlev[,+1], nb, S, 128)`` and both results return as
-    :class:`Cloudsc2BlockedOutputs` — the zero-relayout path."""
+    :class:`Cloudsc2BlockedOutputs` — the zero-relayout path.
+
+    ``save_checkpoints=True`` (blocked only) additionally returns the
+    3 per-level primal carry-in streams, letting
+    :func:`cloudsc2_pallas_ad` skip its forward sweep in the fused work
+    unit — returns (outputs, d_outputs, checkpoints)."""
+    if save_checkpoints and not blocked:
+        raise ValueError("save_checkpoints requires blocked=True")
     lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
     d_arrs = {k: jnp.asarray(v, lay.dtype) for k, v in d_inputs._asdict().items()}
     if not (levels_major or blocked):
@@ -322,13 +339,15 @@ def cloudsc2_pallas_tl(
     lev_s_list = lay.field_specs(rev=False)
     _, _, _, col_s, smem_s = lay.specs(rev=False)
     out_spec = lev_s_list[0]
+    nout = 2 * N_OUTPUTS + (3 if save_checkpoints else 0)
 
     kernel = functools.partial(
-        _tl_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl
+        _tl_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
+        save_ckpt=save_checkpoints,
     )
     cost = pl.CostEstimate(
         flops=2 * 292 * lay.nlev * lay.nb * lay.bc,
-        bytes_accessed=(2 * _NF + 2 * N_OUTPUTS)
+        bytes_accessed=(2 * _NF + nout)
         * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
         transcendentals=2 * 10 * lay.nlev * lay.nb * lay.bc,
     )
@@ -336,8 +355,8 @@ def cloudsc2_pallas_tl(
         kernel,
         grid=(lay.nb, lay.nlev),
         in_specs=[smem_s] * 3 + lev_s_list + lev_s_list + [col_s] * 3,
-        out_specs=[out_spec] * (2 * N_OUTPUTS),
-        out_shape=[lay.out_shape()] * (2 * N_OUTPUTS),
+        out_specs=[out_spec] * nout,
+        out_shape=[lay.out_shape()] * nout,
         scratch_shapes=lay.scratch(6),
         cost_estimate=cost,
         interpret=interpret,
@@ -349,8 +368,11 @@ def cloudsc2_pallas_tl(
         lay.colblocks(d_arrs["paph"][lay.nlev]),
     )
     if blocked:
-        return (Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS]),
-                Cloudsc2BlockedOutputs(*outs[N_OUTPUTS:]))
+        out_b = Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS])
+        dout_b = Cloudsc2BlockedOutputs(*outs[N_OUTPUTS : 2 * N_OUTPUTS])
+        if save_checkpoints:
+            return out_b, dout_b, tuple(outs[2 * N_OUTPUTS :])
+        return out_b, dout_b
     out = _assemble_outputs(lay, params, outs[:N_OUTPUTS], levels_major)
     d_out = _assemble_outputs(lay, params, outs[N_OUTPUTS:], levels_major)
     return out, d_out
@@ -448,6 +470,7 @@ def cloudsc2_pallas_ad(
     sublanes: int = 64,
     levels_major: bool = False,
     blocked: bool = False,
+    checkpoints=None,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Inputs]:
     """Fused-kernel adjoint CLOUDSC2: returns (outputs, input_adjoints).
@@ -459,7 +482,14 @@ def cloudsc2_pallas_ad(
     ``blocked=True``: inputs arrive in kernel layout, ``d_outputs`` is a
     :class:`Cloudsc2BlockedOutputs` cotangent (use
     :func:`fold_flux_seeds` if it represents the 10-field contract), and
-    (outputs, input_adjoints) return blocked."""
+    (outputs, input_adjoints) return blocked.
+
+    ``checkpoints`` (blocked only): per-level primal carry-in streams
+    from ``cloudsc2_pallas_tl(save_checkpoints=True)`` — the forward
+    sweep is then skipped entirely (the TL kernel already recomputed the
+    trajectory) and the returned ``outputs`` is ``None``."""
+    if checkpoints is not None and not blocked:
+        raise ValueError("external checkpoints require blocked=True")
     lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
     lev_fwd = lay.field_specs(rev=False)
     lev_rev = lay.field_specs(rev=True)
@@ -467,23 +497,26 @@ def cloudsc2_pallas_ad(
     fwd_spec, rev_spec = lev_fwd[0], lev_rev[0]
     operands = lay.level_operands(lay.arrs)
 
-    # ---- forward sweep with carry checkpoints
-    fwd = pl.pallas_call(
-        functools.partial(_fwd_ckpt_kernel, params=params, ldrain1d=ldrain1d),
-        grid=(lay.nb, lay.nlev),
-        in_specs=[smem_s] * 3 + lev_fwd + [col_s] * 2,
-        out_specs=[fwd_spec] * (N_OUTPUTS + 3),
-        out_shape=[lay.out_shape()] * (N_OUTPUTS + 3),
-        scratch_shapes=lay.scratch(3),
-        cost_estimate=pl.CostEstimate(
-            flops=292 * lay.nlev * lay.nb * lay.bc,
-            bytes_accessed=(_NF + N_OUTPUTS + 3)
-            * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
-            transcendentals=10 * lay.nlev * lay.nb * lay.bc,
-        ),
-        interpret=interpret,
-    )(*lay.scalar_args(), *operands, lay.ztrpaus_b, lay.paphsfc_b)
-    outs, ckpts = fwd[:N_OUTPUTS], fwd[N_OUTPUTS:]
+    if checkpoints is not None:
+        outs, ckpts = None, tuple(checkpoints)
+    else:
+        # ---- forward sweep with carry checkpoints
+        fwd = pl.pallas_call(
+            functools.partial(_fwd_ckpt_kernel, params=params, ldrain1d=ldrain1d),
+            grid=(lay.nb, lay.nlev),
+            in_specs=[smem_s] * 3 + lev_fwd + [col_s] * 2,
+            out_specs=[fwd_spec] * (N_OUTPUTS + 3),
+            out_shape=[lay.out_shape()] * (N_OUTPUTS + 3),
+            scratch_shapes=lay.scratch(3),
+            cost_estimate=pl.CostEstimate(
+                flops=292 * lay.nlev * lay.nb * lay.bc,
+                bytes_accessed=(_NF + N_OUTPUTS + 3)
+                * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
+                transcendentals=10 * lay.nlev * lay.nb * lay.bc,
+            ),
+            interpret=interpret,
+        )(*lay.scalar_args(), *operands, lay.ztrpaus_b, lay.paphsfc_b)
+        outs, ckpts = fwd[:N_OUTPUTS], fwd[N_OUTPUTS:]
 
     # ---- reverse sweep
     if blocked:
@@ -537,6 +570,8 @@ def cloudsc2_pallas_ad(
         ten_l=d["ten_l"], ten_i=d["ten_i"], psupsat=d["psupsat"],
     )
     if blocked:
+        if outs is None:
+            return None, d_in
         return Cloudsc2BlockedOutputs(*outs), d_in
     out = _assemble_outputs(lay, params, outs, levels_major)
     if not levels_major:

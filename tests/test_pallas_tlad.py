@@ -144,3 +144,32 @@ def test_blocked_tlad_matches_standard(state):
         b = np.asarray(b)
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() / scale < 1e-4, name
+
+
+def test_checkpoint_reuse_adjoint_matches(state):
+    """The reverse-only adjoint fed with the TL kernel's carry
+    checkpoints equals the adjoint that runs its own forward sweep."""
+    from cloudsc2jax.pallas.tlad_kernel import fold_flux_seeds
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    params = st.params
+    blk = st.device_kernel_inputs(256, dtype=np.float32, blocked_sublanes=1)
+    di = jax.tree.map(lambda x: 0.01 * x, blk)
+
+    out, dout, ckpts = cloudsc2_pallas_tl(
+        blk, di, params, lregcl=True, blocked=True, save_checkpoints=True,
+        interpret=True,
+    )
+    seeds = fold_flux_seeds(dout, params)
+    _, adj_fast = cloudsc2_pallas_ad(
+        blk, seeds, params, lregcl=True, blocked=True, checkpoints=ckpts,
+        interpret=True,
+    )
+    _, adj_ref = cloudsc2_pallas_ad(
+        blk, seeds, params, lregcl=True, blocked=True, interpret=True
+    )
+    for name, a, b in zip(adj_ref._fields, adj_fast, adj_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-5, name
