@@ -114,7 +114,7 @@ def main(argv=None):
     # blocks, so mesh sharding does not apply — multi-device keeps the
     # standard layout + shard_map)
     use_blocked = (
-        args.pallas and args.variant == "tlad" and len(devices) == 1
+        args.pallas and args.variant in ("nl", "tlad") and len(devices) == 1
     )
     if use_blocked:
         inputs = state.device_kernel_inputs(
@@ -155,7 +155,9 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         from functools import partial
         from .drivers import run_nl
 
-        backend = "pallas" if args.pallas else "xla"
+        blocked = args.pallas and not multi
+        backend = ("pallas_blocked" if blocked else "pallas") if args.pallas \
+            else "xla"
         fn = partial(
             run_nl, params=state.params, backend=backend,
             mesh=mesh if (multi and args.pallas) else None,
@@ -173,15 +175,34 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         timer.end()
         timer.print_performance(args.nproma, ngpblks, ngptot)
         ok = True
+        need_std = (
+            (not args.no_validate and pathlib.Path(reference_path).exists())
+            or os.environ.get("CLOUDSC2_WRITE_REFERENCE") == "1"
+        )
+        val_out, val_in = out, inputs
+        if blocked and need_std:
+            # one relayout back to the (ncol, nlev) contract, paid only
+            # on validation / golden-writing runs
+            from .pallas.cloudsc2_kernel import unblock_outputs
+
+            ncb = inputs.pt.shape[1] * inputs.pt.shape[2] * 128
+            val_out = jax.jit(
+                partial(unblock_outputs, params=state.params, ncol=ncb)
+            )(out)
+            val_out = jax.tree.map(lambda x: x[:ngptot], val_out)
+            nlev = inputs.plude.shape[0]
+            val_in = inputs._replace(
+                plude=inputs.plude.reshape(nlev, -1).T[:ngptot]
+            )
         if not args.no_validate and pathlib.Path(reference_path).exists():
             ok = state.validate_device(
-                out, inputs, reference_path, threshold=args.threshold
+                val_out, val_in, reference_path, threshold=args.threshold
             )
         if os.environ.get("CLOUDSC2_WRITE_REFERENCE") == "1":
             # the stored-column block suffices (cyclic expansion); fetch
             # only those columns to host
             head = jax.tree.map(
-                lambda x: np.asarray(x[: state.klon_file]), out
+                lambda x: np.asarray(x[: state.klon_file]), val_out
             )
             state.write_reference(head, "reference.h5")
             print("Written reference results to reference.h5", file=sys.stderr)

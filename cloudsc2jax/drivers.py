@@ -52,6 +52,13 @@ def run_nl(
     kernel instance per device on its local shard, zero collectives.
     The XLA backend is auto-partitioned by jit from the input shardings.
     """
+    if backend == "pallas_blocked":
+        from .pallas.cloudsc2_kernel import cloudsc2_pallas
+
+        fn = partial(
+            cloudsc2_pallas, params=params, ldrain1d=ldrain1d, blocked=True
+        )
+        return jax.jit(fn)(inputs)
     if backend == "pallas":
         from .pallas.cloudsc2_kernel import cloudsc2_pallas
 
