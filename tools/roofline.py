@@ -21,8 +21,9 @@ import json
 
 NLEV = 137
 
-# streams in/out of the fused kernel (see pallas/cloudsc2_kernel.py)
-READS_PER_LEVEL = 14 + 2  # raw fields + paph(k), paph(k+1); plu(k+1) reuses plu
+# streams in/out of the fused kernel (see pallas/cloudsc2_kernel.py);
+# plu(k+1) reads the same HBM buffer as plu but is a separate DMA stream
+READS_PER_LEVEL = 14 + 3
 WRITES_PER_LEVEL = 8
 TRANSC_PER_LEVEL = 10
 FLOPS_PER_LEVEL = 292  # ZHPM / (100 cols * 137 levels)
@@ -33,7 +34,12 @@ def main():
     ap.add_argument("--ngptot", type=int, default=163840)
     ap.add_argument("--ms", type=float, required=True, help="measured kernel ms")
     ap.add_argument("--dtype-bytes", type=int, default=4)
-    ap.add_argument("--hbm-gbps", type=float, default=819.0, help="v5e HBM BW")
+    ap.add_argument("--hbm-gbps", type=float, default=819.0,
+                    help="v5e nominal HBM BW; the measured achievable "
+                         "streaming ceiling on this (virtualised) chip is "
+                         "~390 GB/s for both XLA fusions and the Pallas "
+                         "pipeline (DESIGN.md §3) — pass 390 to compute "
+                         "the fraction of the practical roofline")
     ap.add_argument("--vpu-gops", type=float, default=3900.0,
                     help="VPU lane-ops/s upper bound (8x128 lanes x ~0.94GHz x 4 ALUs)")
     ap.add_argument("--transc-cycles", type=float, default=8.0,
