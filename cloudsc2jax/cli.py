@@ -109,17 +109,24 @@ def main(argv=None):
         else Cloudsc2State.synthetic(ngptot=min(ngptot, 100))
     )
     state.ngptot = ngptot
-    # single-device --pallas tlad runs use the zero-relayout blocked
-    # layout (kernel-native operands; the column axis is inside the
-    # blocks, so mesh sharding does not apply — multi-device keeps the
-    # standard layout + shard_map)
+    # --pallas nl/tlad runs use the zero-relayout blocked layout
+    # (kernel-native operands); multi-device shards the block axis, so
+    # the block count must divide the device count — otherwise fall back
+    # to the standard layout + shard_map over raw columns
+    ndev = len(devices)
+    nb64 = -(-ngptot // (64 * 128))
     use_blocked = (
-        args.pallas and args.variant in ("nl", "tlad") and len(devices) == 1
+        args.pallas
+        and args.variant in ("nl", "tlad")
+        and (ndev == 1 or nb64 % ndev == 0)
     )
+    args._blocked = use_blocked
     if use_blocked:
         inputs = state.device_kernel_inputs(
             ngptot, dtype=dtype, blocked_sublanes=64
         )
+        if ndev > 1:
+            inputs = dist.shard_inputs(inputs, mesh, axis=1)
     else:
         inputs = state.device_kernel_inputs(ngptot, dtype=dtype)
         inputs = dist.shard_inputs(inputs, mesh)
@@ -155,7 +162,7 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         from functools import partial
         from .drivers import run_nl
 
-        blocked = args.pallas and not multi
+        blocked = getattr(args, "_blocked", False)
         backend = ("pallas_blocked" if blocked else "pallas") if args.pallas \
             else "xla"
         fn = partial(
@@ -233,7 +240,10 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
 
         nproma = args.nproma if args.nproma < ngptot else None
         if args.pallas:
-            backend = "pallas" if multi else "pallas_blocked"
+            backend = (
+                "pallas_blocked" if getattr(args, "_blocked", False)
+                else "pallas"
+            )
         else:
             backend = "xla"
         tlad_mesh = mesh if (multi and args.pallas) else None

@@ -68,9 +68,14 @@ def column_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (COLS_AXIS,))
 
 
-def column_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
-    """Shard axis 0 (columns), replicate the rest."""
-    return NamedSharding(mesh, P(COLS_AXIS, *([None] * (ndim - 1))))
+def column_sharding(mesh: Mesh, ndim: int = 2, axis: int = 0) -> NamedSharding:
+    """Shard the column axis (default axis 0), replicate the rest.
+
+    ``axis=1`` is the blocked kernel layout ``(nlev, nb, S, 128)``, whose
+    shardable column dimension is the block axis ``nb``."""
+    spec = [None] * ndim
+    spec[axis] = COLS_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def rank_columns(ngptot: int, nranks: int, rank: int) -> slice:
@@ -95,8 +100,10 @@ def pad_columns(ngptot: int, mesh: Mesh) -> int:
     return math.ceil(ngptot / n) * n
 
 
-def shard_inputs(pytree, mesh: Mesh):
-    """Place a pytree of (ncol, ...) arrays on the mesh, column-sharded.
+def shard_inputs(pytree, mesh: Mesh, axis: int = 0):
+    """Place a pytree of column-batched arrays on the mesh, column-sharded
+    along ``axis`` (0 for the (ncol, ...) contract, 1 for the blocked
+    kernel layout).
 
     Single-process: a device_put with a NamedSharding. Multi-host: each
     process passes its host-local block (from :func:`local_column_slice`)
@@ -104,7 +111,7 @@ def shard_inputs(pytree, mesh: Mesh):
     """
 
     def place(x):
-        sh = column_sharding(mesh, np.ndim(x))
+        sh = column_sharding(mesh, np.ndim(x), axis=axis)
         if jax.process_count() == 1:
             # device arrays re-shard in place; no host round-trip
             return jax.device_put(x, sh)
@@ -113,7 +120,7 @@ def shard_inputs(pytree, mesh: Mesh):
     return jax.tree.map(place, pytree)
 
 
-def shard_map_columns(fn, mesh: Mesh, example):
+def shard_map_columns(fn, mesh: Mesh, example, axis: int = 0):
     """SPMD-wrap a column-wise kernel over the mesh's column axis.
 
     The XLA (lax.scan) kernel path is auto-partitioned by jit from the
@@ -121,11 +128,14 @@ def shard_map_columns(fn, mesh: Mesh, example):
     ``shard_map`` runs one instance per device on its local column shard
     (embarrassingly parallel, zero collectives: SURVEY §3.4 — the physics
     never communicates across columns).  ``example`` is an input pytree
-    (or ShapeDtypeStructs) used to derive the per-leaf specs.
+    (or ShapeDtypeStructs) used to derive the per-leaf specs; ``axis=1``
+    for the blocked kernel layout (shard the nb block axis).
     """
 
     def spec(x):
-        return P(COLS_AXIS, *([None] * (np.ndim(x) - 1)))
+        s = [None] * np.ndim(x)
+        s[axis] = COLS_AXIS
+        return P(*s)
 
     in_specs = (jax.tree.map(spec, example),)
     out_specs = jax.tree.map(spec, jax.eval_shape(fn, example))

@@ -58,6 +58,10 @@ def run_nl(
         fn = partial(
             cloudsc2_pallas, params=params, ldrain1d=ldrain1d, blocked=True
         )
+        if mesh is not None:
+            from . import dist
+
+            fn = dist.shard_map_columns(fn, mesh, inputs, axis=1)
         return jax.jit(fn)(inputs)
     if backend == "pallas":
         from .pallas.cloudsc2_kernel import cloudsc2_pallas
@@ -131,10 +135,13 @@ def run_tlad(
     if hit is None or hit[0] is not params:
         step = _tlad_step(params, lregcl, ldrain1d, remat, nproma,
                           backend, sublanes)
-        if mesh is not None and backend == "pallas":
+        if mesh is not None and backend.startswith("pallas"):
             from . import dist
 
-            step = jax.jit(dist.shard_map_columns(step, mesh, inputs))
+            axis = 1 if backend == "pallas_blocked" else 0
+            step = jax.jit(
+                dist.shard_map_columns(step, mesh, inputs, axis=axis)
+            )
         hit = (params, step, mesh)
         _TLAD_CACHE[key] = hit
     return hit[1](inputs)

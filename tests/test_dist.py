@@ -153,3 +153,25 @@ def test_run_tlad_pallas_mesh(mesh):
     out, dout, adj = run_tlad(sharded, st.params, lregcl=True, remat=False)
     assert np.isfinite(np.asarray(out.tenl_t)).all()
     assert np.isfinite(np.asarray(adj.pt)).all()
+
+
+def test_shard_map_blocked_pallas(mesh):
+    """Blocked-layout kernel SPMD over the block axis (axis=1) matches the
+    single-device blocked run."""
+    from functools import partial
+
+    from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=17)
+    # 8 blocks of 128 columns -> one block per device
+    blk = st.device_kernel_inputs(1024, dtype=np.float32, blocked_sublanes=1)
+    fn = partial(cloudsc2_pallas, params=st.params, blocked=True,
+                 interpret=True)
+    ref = fn(blk)
+    sharded = dist.shard_inputs(blk, mesh, axis=1)
+    out = jax.jit(dist.shard_map_columns(fn, mesh, sharded, axis=1))(sharded)
+    for name, a, b in zip(out._fields, out, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 5e-6, name
