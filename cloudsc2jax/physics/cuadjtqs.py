@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..constants import Params
 
-__all__ = ["cuadjtqs"]
+__all__ = ["cuadjtqs", "cuadjtqs_tl", "cuadjtqs_ad"]
 
 _ZQMAX = 0.5
 
@@ -69,3 +69,31 @@ def cuadjtqs(psp, t, q, params: Params, *, kcall: int = 0):
     t = t + zaldcp * cond1
     q = q - cond1
     return t, q
+
+
+def cuadjtqs_tl(psp, t, q, d_psp, d_t, d_q, params: Params, *, kcall: int = 0):
+    """Tangent-linear saturation adjustment.
+
+    API-parity equivalent of CUADJTQSTL (src/cloudsc2_tl/cuadjtqstl.F90:
+    10-14: trajectory PSP5/PT5/PQ5 + increments), derived from the single
+    nonlinear source via ``jax.jvp``.  Returns ((t, q), (d_t, d_q)).
+    """
+    import jax
+
+    f = lambda p, tt, qq: cuadjtqs(p, tt, qq, params, kcall=kcall)
+    return jax.jvp(f, (psp, t, q), (d_psp, d_t, d_q))
+
+
+def cuadjtqs_ad(psp, t, q, a_t, a_q, params: Params, *, kcall: int = 0):
+    """Adjoint saturation adjustment.
+
+    API-parity equivalent of CUADJTQSAD (src/cloudsc2_ad/cuadjtqsad.F90:
+    the forward trajectory is recomputed internally, then reversed),
+    derived via ``jax.vjp``.  Seeded with output adjoints ``(a_t, a_q)``;
+    returns ((t, q), (a_psp, a_t_in, a_q_in)).
+    """
+    import jax
+
+    f = lambda p, tt, qq: cuadjtqs(p, tt, qq, params, kcall=kcall)
+    out, vjp_fn = jax.vjp(f, psp, t, q)
+    return out, vjp_fn((a_t, a_q))

@@ -119,3 +119,34 @@ def test_damp_tangent_factor_gets_no_gradient():
     f = lambda x: damp_tangent(x, 2.0 * x)  # factor depends on x
     # d/dx of primal(x)=x with tangent rule dx*factor(x): at x=3 -> 6
     assert float(jax.grad(f)(3.0)) == pytest.approx(6.0)
+
+
+def test_cuadjtqs_tl_ad_consistency(params):
+    """CUADJTQSTL/CUADJTQSAD equivalents: Taylor check of the tangent and
+    the dot-product identity of the adjoint (the same mathematics the
+    reference validates through the full-kernel drivers)."""
+    import jax.numpy as jnp
+
+    from cloudsc2jax.physics.cuadjtqs import cuadjtqs_ad, cuadjtqs_tl
+
+    rng = np.random.default_rng(7)
+    n = 64
+    psp = jnp.asarray(8.0e4 + 1.0e4 * rng.random(n))
+    t = jnp.asarray(250.0 + 40.0 * rng.random(n))
+    q = jnp.asarray(5.0e-3 * rng.random(n))
+    dp, dt_, dq = 0.01 * psp, 0.01 * t, 0.01 * q
+
+    (t2, q2), (jt, jq) = cuadjtqs_tl(psp, t, q, dp, dt_, dq, params)
+    # Taylor: finite difference ratio -> 1
+    lam = 1e-7
+    from cloudsc2jax.physics.cuadjtqs import cuadjtqs
+
+    t2p, q2p = cuadjtqs(psp + lam * dp, t + lam * dt_, q + lam * dq, params)
+    num = float(jnp.abs((t2p - t2) - lam * jt).max())
+    assert num < 1e-6 * lam * float(jnp.abs(jt).max() + 1)
+
+    # adjoint identity <Mdx, Mdx> == <dx, M^T M dx>
+    (t3, q3), (ap, at, aq) = cuadjtqs_ad(psp, t, q, jt, jq, params)
+    n1 = float(jnp.sum(jt * jt) + jnp.sum(jq * jq))
+    n2 = float(jnp.sum(dp * ap) + jnp.sum(dt_ * at) + jnp.sum(dq * aq))
+    assert abs(n1 - n2) / abs(n2) < 1e-12
