@@ -12,6 +12,7 @@ via ``jax.jvp`` / ``jax.vjp`` of this single source of truth.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import Params
@@ -78,8 +79,6 @@ def cuadjtqs_tl(psp, t, q, d_psp, d_t, d_q, params: Params, *, kcall: int = 0):
     10-14: trajectory PSP5/PT5/PQ5 + increments), derived from the single
     nonlinear source via ``jax.jvp``.  Returns ((t, q), (d_t, d_q)).
     """
-    import jax
-
     f = lambda p, tt, qq: cuadjtqs(p, tt, qq, params, kcall=kcall)
     return jax.jvp(f, (psp, t, q), (d_psp, d_t, d_q))
 
@@ -92,8 +91,6 @@ def cuadjtqs_ad(psp, t, q, a_t, a_q, params: Params, *, kcall: int = 0):
     derived via ``jax.vjp``.  Seeded with output adjoints ``(a_t, a_q)``;
     returns ((t, q), (a_psp, a_t_in, a_q_in)).
     """
-    import jax
-
     f = lambda p, tt, qq: cuadjtqs(p, tt, qq, params, kcall=kcall)
     out, vjp_fn = jax.vjp(f, psp, t, q)
     return out, vjp_fn((a_t, a_q))

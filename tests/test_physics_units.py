@@ -121,12 +121,12 @@ def test_damp_tangent_factor_gets_no_gradient():
     assert float(jax.grad(f)(3.0)) == pytest.approx(6.0)
 
 
-def test_cuadjtqs_tl_ad_consistency(params):
-    """CUADJTQSTL/CUADJTQSAD equivalents: Taylor check of the tangent and
-    the dot-product identity of the adjoint (the same mathematics the
-    reference validates through the full-kernel drivers)."""
-    import jax.numpy as jnp
-
+@pytest.mark.parametrize("kcall", [0, 1, 2])
+def test_cuadjtqs_tl_ad_consistency(params, kcall):
+    """CUADJTQSTL/CUADJTQSAD equivalents: Taylor check of both tangents
+    and the dot-product identity of the adjoint, over the clamped KCALL
+    branches too (the same mathematics the reference validates through
+    the full-kernel drivers)."""
     from cloudsc2jax.physics.cuadjtqs import cuadjtqs_ad, cuadjtqs_tl
 
     rng = np.random.default_rng(7)
@@ -136,17 +136,22 @@ def test_cuadjtqs_tl_ad_consistency(params):
     q = jnp.asarray(5.0e-3 * rng.random(n))
     dp, dt_, dq = 0.01 * psp, 0.01 * t, 0.01 * q
 
-    (t2, q2), (jt, jq) = cuadjtqs_tl(psp, t, q, dp, dt_, dq, params)
-    # Taylor: finite difference ratio -> 1
-    lam = 1e-7
-    from cloudsc2jax.physics.cuadjtqs import cuadjtqs
-
-    t2p, q2p = cuadjtqs(psp + lam * dp, t + lam * dt_, q + lam * dq, params)
-    num = float(jnp.abs((t2p - t2) - lam * jt).max())
-    assert num < 1e-6 * lam * float(jnp.abs(jt).max() + 1)
+    (t2, q2), (jt, jq) = cuadjtqs_tl(psp, t, q, dp, dt_, dq, params,
+                                     kcall=kcall)
+    # first-order consistency: |f(x+lam dx) - f(x) - lam J dx| is
+    # second-order in lam, bounded relative to the step magnitude (plus
+    # f64 subtraction roundoff on ~290 K values)
+    lam = 1e-5
+    t2p, q2p = cuadjtqs(psp + lam * dp, t + lam * dt_, q + lam * dq, params,
+                        kcall=kcall)
+    for pert, base, jac in ((t2p, t2, jt), (q2p, q2, jq)):
+        resid = float(jnp.abs((pert - base) - lam * jac).max())
+        scale = lam * float(jnp.abs(lam * jac).max() + jnp.abs(base).max())
+        assert resid < 1e-4 * scale + 1e-11, kcall
 
     # adjoint identity <Mdx, Mdx> == <dx, M^T M dx>
-    (t3, q3), (ap, at, aq) = cuadjtqs_ad(psp, t, q, jt, jq, params)
+    (t3, q3), (ap, at, aq) = cuadjtqs_ad(psp, t, q, jt, jq, params,
+                                         kcall=kcall)
     n1 = float(jnp.sum(jt * jt) + jnp.sum(jq * jq))
     n2 = float(jnp.sum(dp * ap) + jnp.sum(dt_ * at) + jnp.sum(dq * aq))
-    assert abs(n1 - n2) / abs(n2) < 1e-12
+    assert abs(n1 - n2) / abs(n2) < 1e-12, kcall
