@@ -62,30 +62,17 @@ def as_attr_group(dc):
     return g
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--nlon", type=int, default=100)
-    ap.add_argument("--nlev", type=int, default=137)
-    ap.add_argument("--seed", type=int, default=2026)
-    ap.add_argument("--ldrain1d", action="store_true",
-                    help="generate goldens with LDRAIN1D=.TRUE. (activates "
-                    "the clear-sky precip-evaporation branch); writes "
-                    "reference_ldrain1d.h5 and reuses the existing input.h5")
-    args = ap.parse_args()
+def run_reference_port(fields, params, ldrain1d: bool = False):
+    """Execute the reference's own NumPy NL port on a synthetic state.
 
-    fixtures = REPO / "tests" / "fixtures"
-    fixtures.mkdir(parents=True, exist_ok=True)
-
-    fields, params = cio.synthetic_state(
-        nlon=args.nlon, nlev=args.nlev, seed=args.seed
-    )
-    if not args.ldrain1d:
-        cio.write_input_h5(fixtures / "input.h5", fields, params)
-        print(f"wrote {fixtures/'input.h5'}")
-
+    Returns the golden-file outputs dict (file order, levels-major).
+    Used by fixture generation AND the runtime crosscheck test
+    (tests/test_crosscheck_reference.py) so our kernel can be compared
+    against the reference implementation on arbitrary fresh states.
+    """
+    klev, klon = fields["PT"].shape
     ref = load_reference_numpy_port()
 
-    klev, klon = args.nlev, args.nlon
     # reference numpy port indexes arrays as [jk, jl]
     F = lambda a: np.asarray(a, dtype=np.float64)
     pt, pq = F(fields["PT"]), F(fields["PQ"])
@@ -118,9 +105,8 @@ def main():
     pfhpsn = np.zeros((klev + 1, klon))
     pcovptot = np.zeros((klev, klon))
 
-    t0 = time.time()
     ref.cloudsc2_py(
-        0, klon, klon, 0, klev, bool(args.ldrain1d), params.ptsphy,
+        0, klon, klon, 0, klev, bool(ldrain1d), params.ptsphy,
         paph, pap, pq, pqsat, pt,
         pclv[NCLDQL], pclv[NCLDQI],
         # The reference numpy port indexes plu[jk+1] without the Fortran
@@ -138,14 +124,13 @@ def main():
         pclc, pfplsl, pfplsn, pfhpsl, pfhpsn, pcovptot,
         yrecldp, yrecld, yrmcst, yrethf, yrephli,
     )
-    print(f"reference numpy port ran in {time.time()-t0:.1f}s")
 
     from cloudsc2jax.constants import NCLV
 
     tend_cld = np.zeros((NCLV, klev, klon))
     tend_cld[NCLDQL] = ptenl
     tend_cld[NCLDQI] = pteni
-    outputs = {
+    return {
         "PLUDE": F(fields["PLUDE"]),  # IN-only for CLOUDSC2: passes through
         "PCOVPTOT": pcovptot,
         "PFPLSL": pfplsl,
@@ -158,6 +143,32 @@ def main():
         "TENDENCY_LOC_CLD": tend_cld,
         "PQSAT": pqsat,  # extra: lets tests check SATUR independently
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nlon", type=int, default=100)
+    ap.add_argument("--nlev", type=int, default=137)
+    ap.add_argument("--seed", type=int, default=2026)
+    ap.add_argument("--ldrain1d", action="store_true",
+                    help="generate goldens with LDRAIN1D=.TRUE. (activates "
+                    "the clear-sky precip-evaporation branch); writes "
+                    "reference_ldrain1d.h5 and reuses the existing input.h5")
+    args = ap.parse_args()
+
+    fixtures = REPO / "tests" / "fixtures"
+    fixtures.mkdir(parents=True, exist_ok=True)
+
+    fields, params = cio.synthetic_state(
+        nlon=args.nlon, nlev=args.nlev, seed=args.seed
+    )
+    if not args.ldrain1d:
+        cio.write_input_h5(fixtures / "input.h5", fields, params)
+        print(f"wrote {fixtures/'input.h5'}")
+
+    t0 = time.time()
+    outputs = run_reference_port(fields, params, ldrain1d=args.ldrain1d)
+    print(f"reference numpy port ran in {time.time()-t0:.1f}s")
     name = "reference_ldrain1d.h5" if args.ldrain1d else "reference.h5"
     cio.write_reference_h5(fixtures / name, outputs)
     print(f"wrote {fixtures/name}")
