@@ -64,12 +64,17 @@ def main():
         layout = os.environ.get("CLOUDSC2_BENCH_LAYOUT", "blocked")
         if layout == "blocked" and mode == "stream":
             # zero-relayout path: inputs generated straight into kernel
-            # layout, outputs consumed blocked (see DESIGN.md §3)
+            # layout, outputs consumed blocked (see DESIGN.md §3);
+            # fuse_satur folds the driver's SATUR call into the sweep
+            # (the reference work unit is SATUR + CLOUDSC2 per block,
+            # cloudsc_driver_mod.F90:91-107)
+            fuse = os.environ.get("CLOUDSC2_BENCH_FUSE_SATUR", "1") == "1"
             inputs = state.device_kernel_inputs(
                 ngptot, dtype=np.float32, blocked_sublanes=sublanes
             )
             fn = jax.jit(
-                partial(cloudsc2_pallas, params=state.params, blocked=True)
+                partial(cloudsc2_pallas, params=state.params, blocked=True,
+                        fuse_satur=fuse)
             )
             impl = "pallas_blocked"
         else:

@@ -334,10 +334,29 @@ def _level_physics(
     return outputs, (zrfln, zsfln, zcovptot)
 
 
-def _stream_kernel(*refs, params: Params, ldrain1d: bool):
+def _satur_level(pap, pt, params: Params):
+    """SATUR (LDPHYLIN, KFLAG=2) on one level tile (satur.F90:106-123),
+    for in-kernel fusion: the driver's SATUR-then-CLOUDSC2 work unit
+    (cloudsc_driver_mod.F90:91-107) collapses into one sweep and the PQS
+    stream is never materialised in HBM."""
+    cst, thf = params.yomcst, params.yoethf
+    alfa = jnp.minimum(
+        1.0,
+        ((jnp.maximum(thf.rtice, jnp.minimum(thf.rtwat, pt)) - thf.rtice)
+         * thf.rtwat_rtice_r) ** 2,
+    )
+    ew_liq = thf.r2es * jnp.exp(thf.r3les * (pt - cst.rtt) / (pt - thf.r4les))
+    ew_ice = thf.r2es * jnp.exp(thf.r3ies * (pt - cst.rtt) / (pt - thf.r4ies))
+    qs = (alfa * ew_liq + (1.0 - alfa) * ew_ice) / pap
+    qs = jnp.where(qs > _ZQMAX, _ZQMAX, qs)
+    return qs / (1.0 - cst.retv * qs)
+
+
+def _stream_kernel(*refs, params: Params, ldrain1d: bool,
+                   fuse_satur: bool = False):
     """Grid (nb, nlev): one level tile per step, carry in VMEM scratch."""
     (ceta_ref, zscalm_ref, notlast_ref, *rest) = refs
-    nf = N_LEVEL_FIELDS + 3  # + plu_k1, paph_lo, paph_hi
+    nf = N_LEVEL_FIELDS + 3 - (1 if fuse_satur else 0)
     lev_refs = rest[:nf]
     ztrpaus_ref, paphsfc_ref = rest[nf : nf + 2]
     out_refs = rest[nf + 2 : nf + 2 + N_OUTPUTS]
@@ -353,6 +372,11 @@ def _stream_kernel(*refs, params: Params, ldrain1d: bool):
 
     scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
     fields = tuple(r[0, 0] for r in lev_refs)
+    if fuse_satur:
+        # stream order without pqs: pt, pq, pap, ... — rebuild the full
+        # tuple with qsat computed in-register
+        pqs = _satur_level(fields[2], fields[0], params)
+        fields = fields[:2] + (pqs,) + fields[2:]
     cols = (ztrpaus_ref[0], paphsfc_ref[0])
     carry = (rfl_s[...], sfl_s[...], cov_s[...])
 
@@ -472,9 +496,15 @@ def cloudsc2_pallas(
     mode: str = "stream",
     levels_major: bool = False,
     blocked: bool = False,
+    fuse_satur: bool = False,
     interpret: bool = False,
 ) -> Cloudsc2Outputs:
     """Fused-kernel CLOUDSC2; drop-in for :func:`cloudsc2` (f32 path).
+
+    ``fuse_satur=True`` (stream mode) computes qsat in-kernel from the
+    streamed PT/PAP instead of reading a PQS stream — the reference
+    driver's SATUR + CLOUDSC2 work unit as ONE sweep, one less HBM
+    stream (``inputs.pqs`` is then ignored).
 
     ``levels_major=True`` expects each input field shaped ``(nlev, ncol)``
     (HDF5 storage order) and returns outputs in the same layout — the
@@ -496,6 +526,8 @@ def cloudsc2_pallas(
         raise ValueError(f"unknown mode {mode!r}")
     if blocked and mode != "stream":
         raise ValueError("blocked layout supports mode='stream' only")
+    if fuse_satur and mode != "stream":
+        raise ValueError("fuse_satur supports mode='stream' only")
 
     arrs = {k: jnp.asarray(v) for k, v in inputs._asdict().items()}
     if blocked:
@@ -528,8 +560,11 @@ def cloudsc2_pallas(
     zscalm = (_ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2).astype(dtype)
     notlast = (jnp.arange(nlev) < nlev - 1).astype(jnp.int32)
 
+    names = [
+        n for n in _LEVEL_FIELDS if not (fuse_satur and n == "pqs")
+    ]
     if blocked:
-        lev_blocks = [arrs[name] for name in _LEVEL_FIELDS]
+        lev_blocks = [arrs[name] for name in names]
         plu_b = arrs["plu"]
         paph_b = arrs["paph"]  # (nlev+1, nb, S, 128)
         ztrpaus_b = ztrpaus
@@ -539,7 +574,7 @@ def cloudsc2_pallas(
             L = x.shape[0]
             return padcols(x).reshape(L, nb, sublanes, 128)
 
-        lev_blocks = [to_blocks(arrs[name]) for name in _LEVEL_FIELDS]
+        lev_blocks = [to_blocks(arrs[name]) for name in names]
         plu_b = to_blocks(arrs["plu"])
         paph_b = to_blocks(arrs["paph"])  # (nlev+1, nb, S, 128)
         ztrpaus_b = padcols(ztrpaus).reshape(nb, sublanes, 128)
@@ -566,11 +601,14 @@ def cloudsc2_pallas(
         out_spec = lev_spec
         out_shape = jax.ShapeDtypeStruct((nlev, nb, sublanes, 128), dtype)
         grid = (nb, nlev)
-        kernel = functools.partial(_stream_kernel, params=params, ldrain1d=ldrain1d)
+        kernel = functools.partial(
+            _stream_kernel, params=params, ldrain1d=ldrain1d,
+            fuse_satur=fuse_satur,
+        )
         scratch = [pltpu.VMEM((sublanes, 128), dtype)] * 3
         in_specs = (
             [smem_spec] * 3
-            + [lev_spec] * N_LEVEL_FIELDS
+            + [lev_spec] * len(lev_blocks)
             + [plu_spec, paph_lo_spec, paph_hi_spec]
             + [col_spec] * 2
         )

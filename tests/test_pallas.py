@@ -77,3 +77,22 @@ def test_pallas_blocked_path_matches(state):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() / scale < 1e-6, name
+
+
+def test_pallas_fuse_satur_matches(state):
+    """In-kernel qsat (fuse_satur: SATUR + CLOUDSC2 as one sweep) matches
+    the streamed-PQS path."""
+    import numpy as np
+
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    blk = st.device_kernel_inputs(256, dtype=np.float32, blocked_sublanes=1)
+    ref = cloudsc2_pallas(blk, st.params, blocked=True, interpret=True)
+    fused = cloudsc2_pallas(
+        blk, st.params, blocked=True, fuse_satur=True, interpret=True
+    )
+    for name, a, b in zip(ref._fields, fused, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 2e-5, name
