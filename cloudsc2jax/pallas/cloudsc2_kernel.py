@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import Params
 from ..ops import damp_tangent
+from ..physics.satur import satur
 from ..physics.cloudsc2 import (
     Cloudsc2Inputs,
     Cloudsc2Outputs,
@@ -334,24 +335,6 @@ def _level_physics(
     return outputs, (zrfln, zsfln, zcovptot)
 
 
-def _satur_level(pap, pt, params: Params):
-    """SATUR (LDPHYLIN, KFLAG=2) on one level tile (satur.F90:106-123),
-    for in-kernel fusion: the driver's SATUR-then-CLOUDSC2 work unit
-    (cloudsc_driver_mod.F90:91-107) collapses into one sweep and the PQS
-    stream is never materialised in HBM."""
-    cst, thf = params.yomcst, params.yoethf
-    alfa = jnp.minimum(
-        1.0,
-        ((jnp.maximum(thf.rtice, jnp.minimum(thf.rtwat, pt)) - thf.rtice)
-         * thf.rtwat_rtice_r) ** 2,
-    )
-    ew_liq = thf.r2es * jnp.exp(thf.r3les * (pt - cst.rtt) / (pt - thf.r4les))
-    ew_ice = thf.r2es * jnp.exp(thf.r3ies * (pt - cst.rtt) / (pt - thf.r4ies))
-    qs = (alfa * ew_liq + (1.0 - alfa) * ew_ice) / pap
-    qs = jnp.where(qs > _ZQMAX, _ZQMAX, qs)
-    return qs / (1.0 - cst.retv * qs)
-
-
 def _stream_kernel(*refs, params: Params, ldrain1d: bool,
                    fuse_satur: bool = False):
     """Grid (nb, nlev): one level tile per step, carry in VMEM scratch."""
@@ -374,8 +357,10 @@ def _stream_kernel(*refs, params: Params, ldrain1d: bool,
     fields = tuple(r[0, 0] for r in lev_refs)
     if fuse_satur:
         # stream order without pqs: pt, pq, pap, ... — rebuild the full
-        # tuple with qsat computed in-register
-        pqs = _satur_level(fields[2], fields[0], params)
+        # tuple with qsat computed in-register from the validated SATUR
+        # (the driver's SATUR-then-CLOUDSC2 work unit as one sweep,
+        # cloudsc_driver_mod.F90:91-107); pure jnp, traceable in-kernel
+        pqs = satur(fields[2], fields[0], params, lphylin=True, kflag=2)
         fields = fields[:2] + (pqs,) + fields[2:]
     cols = (ztrpaus_ref[0], paphsfc_ref[0])
     carry = (rfl_s[...], sfl_s[...], cov_s[...])
@@ -487,6 +472,120 @@ def unblock_outputs(
     return res
 
 
+# ------------------------------------------------------------------ layout
+class _Layout:
+    """Blocked levels-major layout shared by the NL and TL/AD wrappers:
+    transpose to
+    ``(nlev, ncol)`` unless ``levels_major``, pad columns to a multiple of
+    ``sublanes*128`` (replicating column 0 — inputs are tile-replicated
+    upstream anyway, expand_mod.F90 semantics), reshape to
+    ``(L, nb, S, 128)`` blocks.
+    """
+
+    def __init__(self, inputs: Cloudsc2Inputs, params: Params,
+                 sublanes: int, levels_major: bool, blocked: bool = False):
+        arrs = {k: jnp.asarray(v) for k, v in inputs._asdict().items()}
+        self.blocked = blocked
+        if blocked:
+            # operands already in kernel layout (nlev[,+1], nb, S, 128):
+            # the zero-relayout fast path (see cloudsc2_kernel docstring)
+            self.nlev, self.nb, self.sublanes, _ = arrs["pt"].shape
+            self.ncol = None
+            self.bc = self.sublanes * 128
+            self.npad = 0
+        else:
+            if not levels_major:
+                arrs = {k: v.T for k, v in arrs.items()}
+            self.nlev, self.ncol = arrs["pt"].shape
+            self.sublanes = sublanes
+            self.bc = sublanes * 128
+            self.nb = max(1, math.ceil(self.ncol / self.bc))
+            self.npad = self.nb * self.bc - self.ncol
+        self.arrs = arrs
+        self.dtype = arrs["pt"].dtype
+
+        ceta = jnp.asarray(params.ceta, self.dtype)
+        self.ceta = ceta
+        self.zscalm = (_ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2).astype(
+            self.dtype
+        )
+        self.notlast = (jnp.arange(self.nlev) < self.nlev - 1).astype(jnp.int32)
+
+        ztp1 = arrs["pt"] + params.ptsphy * arrs["ten_t"]
+        self.ztrpaus_b = self.colblocks(_tropopause_eta_lm(ztp1, ceta))
+        self.paphsfc_b = self.colblocks(arrs["paph"][self.nlev])
+
+    def padcols(self, x):
+        if self.npad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[..., :1], x.shape[:-1] + (self.npad,))], -1
+        )
+
+    def to_blocks(self, x):  # (L, ncol) -> (L, nb, S, 128)
+        if self.blocked:
+            return x
+        return self.padcols(x).reshape(x.shape[0], self.nb, self.sublanes, 128)
+
+    def colblocks(self, x):  # (ncol,) -> (nb, S, 128)
+        if self.blocked:
+            return x  # already (nb, S, 128)
+        return self.padcols(x).reshape(self.nb, self.sublanes, 128)
+
+    def from_blocks(self, x):  # (L, nb, S, 128) -> (L, ncol)
+        if self.blocked:
+            return x
+        return x.reshape(x.shape[0], self.nb * self.bc)[:, : self.ncol]
+
+    def level_operands(self, arrs):
+        """The 17 primal-ordered streams: 14 level fields + plu, paph x2."""
+        blocks = [self.to_blocks(arrs[name]) for name in _LEVEL_FIELDS]
+        return (*blocks, self.to_blocks(arrs["plu"]),
+                self.to_blocks(arrs["paph"]), self.to_blocks(arrs["paph"]))
+
+    # BlockSpecs.  ``rev`` runs the level axis backwards (DO JK=KLEV,1,-1).
+    def specs(self, rev: bool):
+        blk = (1, 1, self.sublanes, 128)
+        nlev = self.nlev
+        if rev:
+            lev = lambda b, k: (nlev - 1 - k, b, 0, 0)
+            plu = lambda b, k: (jnp.minimum(nlev - k, nlev - 1), b, 0, 0)
+            hi = lambda b, k: (nlev - k, b, 0, 0)
+        else:
+            lev = lambda b, k: (k, b, 0, 0)
+            plu = lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0)
+            hi = lambda b, k: (k + 1, b, 0, 0)
+        mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+        lev_s, plu_s, hi_s = mk(lev), mk(plu), mk(hi)
+        col_s = pl.BlockSpec(
+            (1, self.sublanes, 128), lambda b, k: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        smem_s = pl.BlockSpec(memory_space=pltpu.SMEM)
+        return lev_s, plu_s, hi_s, col_s, smem_s
+
+    def field_specs(self, rev: bool):
+        lev_s, plu_s, hi_s, _, _ = self.specs(rev)
+        return [lev_s] * N_LEVEL_FIELDS + [plu_s, lev_s, hi_s]
+
+    def out_shape(self):
+        return jax.ShapeDtypeStruct(
+            (self.nlev, self.nb, self.sublanes, 128), self.dtype
+        )
+
+    def col_shape(self):
+        return jax.ShapeDtypeStruct((self.nb, self.sublanes, 128), self.dtype)
+
+    def scalar_args(self):
+        n = self.nlev
+        return (self.ceta.reshape(n, 1), self.zscalm.reshape(n, 1),
+                self.notlast.reshape(n, 1))
+
+    def scratch(self, n):
+        return [pltpu.VMEM((self.sublanes, 128), self.dtype)] * n
+
+
+
 def cloudsc2_pallas(
     inputs: Cloudsc2Inputs,
     params: Params,
@@ -528,91 +627,44 @@ def cloudsc2_pallas(
         raise ValueError("blocked layout supports mode='stream' only")
     if fuse_satur and mode != "stream":
         raise ValueError("fuse_satur supports mode='stream' only")
-
-    arrs = {k: jnp.asarray(v) for k, v in inputs._asdict().items()}
-    if blocked:
-        nlev, nb, sublanes, _ = arrs["pt"].shape
-        ncol = None
-        bc = sublanes * 128
-        npad = 0
-    else:
-        if not levels_major:
-            arrs = {k: v.T for k, v in arrs.items()}
-        # from here on everything is (nlev[,+1], ncol)
-        nlev, ncol = arrs["pt"].shape
-        bc = sublanes * 128
-        nb = max(1, math.ceil(ncol / bc))
-        npad = nb * bc - ncol
-    dtype = arrs["pt"].dtype
-    ptsphy = params.ptsphy
-
-    def padcols(x):  # (..., ncol) -> (..., nb*bc)
-        if npad == 0:
-            return x
-        return jnp.concatenate(
-            [x, jnp.broadcast_to(x[..., :1], x.shape[:-1] + (npad,))], -1
+    if not (bool(params.yrephli.lphylin) or ldrain1d):
+        # the fused kernels hardcode the LPHYLIN dqs/dT branch (the
+        # reference entry programs force LPHYLIN=.TRUE.,
+        # dwarf_cloudsc.F90:107); the FOEALFA branch lives only in the
+        # pure-JAX kernel — refuse rather than silently diverge
+        raise NotImplementedError(
+            "cloudsc2_pallas implements the LPHYLIN=True configuration "
+            "only; use physics.cloudsc2 for lphylin=False"
         )
 
-    ceta = jnp.asarray(params.ceta, dtype)
-    ztp1 = arrs["pt"] + ptsphy * arrs["ten_t"]
-    ztrpaus = _tropopause_eta_lm(ztp1, ceta)  # (ncol,) or (nb, S, 128)
-    paph_sfc = arrs["paph"][nlev]
-    zscalm = (_ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2).astype(dtype)
-    notlast = (jnp.arange(nlev) < nlev - 1).astype(jnp.int32)
+    lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
+    nlev, nb, sublanes = lay.nlev, lay.nb, lay.sublanes
 
     names = [
         n for n in _LEVEL_FIELDS if not (fuse_satur and n == "pqs")
     ]
-    if blocked:
-        lev_blocks = [arrs[name] for name in names]
-        plu_b = arrs["plu"]
-        paph_b = arrs["paph"]  # (nlev+1, nb, S, 128)
-        ztrpaus_b = ztrpaus
-        paphsfc_b = paph_sfc
-    else:
-        def to_blocks(x):  # (L, ncol) -> (L, nb, S, 128): pure reshape
-            L = x.shape[0]
-            return padcols(x).reshape(L, nb, sublanes, 128)
+    lev_blocks = [lay.to_blocks(lay.arrs[name]) for name in names]
+    plu_b = lay.to_blocks(lay.arrs["plu"])
+    paph_b = lay.to_blocks(lay.arrs["paph"])  # (nlev+1, nb, S, 128)
 
-        lev_blocks = [to_blocks(arrs[name]) for name in names]
-        plu_b = to_blocks(arrs["plu"])
-        paph_b = to_blocks(arrs["paph"])  # (nlev+1, nb, S, 128)
-        ztrpaus_b = padcols(ztrpaus).reshape(nb, sublanes, 128)
-        paphsfc_b = padcols(paph_sfc).reshape(nb, sublanes, 128)
-
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole (nlev,1) array
+    lev_spec, plu_spec, paph_hi_spec, col_spec, smem_spec = lay.specs(rev=False)
 
     if mode == "stream":
-        blk = (1, 1, sublanes, 128)
-        lev_spec = pl.BlockSpec(blk, lambda b, k: (k, b, 0, 0), memory_space=pltpu.VMEM)
-        # off-level reads as shifted index maps on the same buffers
-        plu_spec = pl.BlockSpec(
-            blk,
-            lambda b, k: (jnp.minimum(k + 1, notlast.shape[0] - 1), b, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        paph_lo_spec = lev_spec
-        paph_hi_spec = pl.BlockSpec(
-            blk, lambda b, k: (k + 1, b, 0, 0), memory_space=pltpu.VMEM
-        )
-        col_spec = pl.BlockSpec(
-            (1, sublanes, 128), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM
-        )
         out_spec = lev_spec
-        out_shape = jax.ShapeDtypeStruct((nlev, nb, sublanes, 128), dtype)
         grid = (nb, nlev)
         kernel = functools.partial(
             _stream_kernel, params=params, ldrain1d=ldrain1d,
             fuse_satur=fuse_satur,
         )
-        scratch = [pltpu.VMEM((sublanes, 128), dtype)] * 3
+        scratch = lay.scratch(3)
         in_specs = (
             [smem_spec] * 3
             + [lev_spec] * len(lev_blocks)
-            + [plu_spec, paph_lo_spec, paph_hi_spec]
+            + [plu_spec, lev_spec, paph_hi_spec]
             + [col_spec] * 2
         )
-        operands = (*lev_blocks, plu_b, paph_b, paph_b, ztrpaus_b, paphsfc_b)
+        operands = (*lev_blocks, plu_b, paph_b, paph_b,
+                    lay.ztrpaus_b, lay.paphsfc_b)
     else:  # resident
         lev_spec = pl.BlockSpec(
             (nlev, 1, sublanes, 128), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM
@@ -626,7 +678,6 @@ def cloudsc2_pallas(
             (1, sublanes, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         )
         out_spec = lev_spec
-        out_shape = jax.ShapeDtypeStruct((nlev, nb, sublanes, 128), dtype)
         grid = (nb,)
         kernel = functools.partial(
             _resident_kernel, params=params, ldrain1d=ldrain1d, nlev=nlev
@@ -638,14 +689,14 @@ def cloudsc2_pallas(
             + [plu_spec, paph_spec]
             + [col_spec] * 2
         )
-        operands = (*lev_blocks, plu_b, paph_b, ztrpaus_b, paphsfc_b)
+        operands = (*lev_blocks, plu_b, paph_b, lay.ztrpaus_b, lay.paphsfc_b)
 
     flops_per_level_col = 292  # SURVEY §3.5
     cost = pl.CostEstimate(
-        flops=flops_per_level_col * nlev * nb * bc,
-        bytes_accessed=(N_LEVEL_FIELDS + 3 + N_OUTPUTS)
-        * nlev * nb * bc * dtype.itemsize,
-        transcendentals=10 * nlev * nb * bc,
+        flops=flops_per_level_col * nlev * nb * lay.bc,
+        bytes_accessed=(len(lev_blocks) + 3 + N_OUTPUTS)
+        * nlev * nb * lay.bc * lay.dtype.itemsize,
+        transcendentals=(12 if fuse_satur else 10) * nlev * nb * lay.bc,
     )
 
     outs = pl.pallas_call(
@@ -653,38 +704,14 @@ def cloudsc2_pallas(
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_spec] * N_OUTPUTS,
-        out_shape=[out_shape] * N_OUTPUTS,
+        out_shape=[lay.out_shape()] * N_OUTPUTS,
         scratch_shapes=scratch,
         cost_estimate=cost,
         interpret=interpret,
-    )(
-        ceta.reshape(nlev, 1), zscalm.reshape(nlev, 1), notlast.reshape(nlev, 1),
-        *operands,
-    )
+    )(*lay.scalar_args(), *operands)
 
     if blocked:
         return Cloudsc2BlockedOutputs(*outs)
-
-    def from_blocks(x):  # (nlev, nb, S, 128) -> (nlev, ncol): pure reshape
-        return x.reshape(nlev, nb * bc)[:, :ncol]
-
-    tent, tenq, tenl, teni, pclc, pcov, rfln, sfln = [from_blocks(o) for o in outs]
-
-    top = jnp.zeros((1, ncol), dtype)
-    pfplsl = jnp.concatenate([top, rfln], axis=0)
-    pfplsn = jnp.concatenate([top, sfln], axis=0)
-    out = Cloudsc2Outputs(
-        tenl_t=tent,
-        tenl_q=tenq,
-        tenl_l=tenl,
-        tenl_i=teni,
-        pclc=pclc,
-        pfplsl=pfplsl,
-        pfplsn=pfplsn,
-        pfhpsl=-pfplsl * params.yomcst.rlvtt,
-        pfhpsn=-pfplsn * params.yomcst.rlstt,
-        pcovptot=pcov,
+    return unblock_outputs(
+        Cloudsc2BlockedOutputs(*outs), params, lay.ncol, levels_major
     )
-    if not levels_major:
-        out = Cloudsc2Outputs(*(x.T for x in out))
-    return out

@@ -50,7 +50,6 @@ f32 performance path (the -DSINGLE analogue); f64 validation uses
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax
@@ -65,10 +64,8 @@ from .cloudsc2_kernel import (
     N_LEVEL_FIELDS,
     N_OUTPUTS,
     _LEVEL_FIELDS,
-    _ZEPS1,
-    _ZSCAL,
+    _Layout,
     _level_physics,
-    _tropopause_eta_lm,
 )
 
 __all__ = ["cloudsc2_pallas_tl", "cloudsc2_pallas_ad", "fold_flux_seeds"]
@@ -94,140 +91,16 @@ def fold_flux_seeds(d_out: Cloudsc2BlockedOutputs, params: Params):
 _NF = N_LEVEL_FIELDS + 3  # raw level streams + plu(k+1), paph(k), paph(k+1)
 
 
-# ------------------------------------------------------------------ layout
-class _Layout:
-    """Blocked levels-major layout shared by the TL/AD wrappers.
-
-    Mirrors the NL wrapper (cloudsc2_kernel.cloudsc2_pallas): transpose to
-    ``(nlev, ncol)`` unless ``levels_major``, pad columns to a multiple of
-    ``sublanes*128`` (replicating column 0 — inputs are tile-replicated
-    upstream anyway, expand_mod.F90 semantics), reshape to
-    ``(L, nb, S, 128)`` blocks.
-    """
-
-    def __init__(self, inputs: Cloudsc2Inputs, params: Params,
-                 sublanes: int, levels_major: bool, blocked: bool = False):
-        arrs = {k: jnp.asarray(v) for k, v in inputs._asdict().items()}
-        self.blocked = blocked
-        if blocked:
-            # operands already in kernel layout (nlev[,+1], nb, S, 128):
-            # the zero-relayout fast path (see cloudsc2_kernel docstring)
-            self.nlev, self.nb, self.sublanes, _ = arrs["pt"].shape
-            self.ncol = None
-            self.bc = self.sublanes * 128
-            self.npad = 0
-        else:
-            if not levels_major:
-                arrs = {k: v.T for k, v in arrs.items()}
-            self.nlev, self.ncol = arrs["pt"].shape
-            self.sublanes = sublanes
-            self.bc = sublanes * 128
-            self.nb = max(1, math.ceil(self.ncol / self.bc))
-            self.npad = self.nb * self.bc - self.ncol
-        self.arrs = arrs
-        self.dtype = arrs["pt"].dtype
-
-        ceta = jnp.asarray(params.ceta, self.dtype)
-        self.ceta = ceta
-        self.zscalm = (_ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2).astype(
-            self.dtype
-        )
-        self.notlast = (jnp.arange(self.nlev) < self.nlev - 1).astype(jnp.int32)
-
-        ztp1 = arrs["pt"] + params.ptsphy * arrs["ten_t"]
-        self.ztrpaus_b = self.colblocks(_tropopause_eta_lm(ztp1, ceta))
-        self.paphsfc_b = self.colblocks(arrs["paph"][self.nlev])
-
-    def padcols(self, x):
-        if self.npad == 0:
-            return x
-        return jnp.concatenate(
-            [x, jnp.broadcast_to(x[..., :1], x.shape[:-1] + (self.npad,))], -1
-        )
-
-    def to_blocks(self, x):  # (L, ncol) -> (L, nb, S, 128)
-        if self.blocked:
-            return x
-        return self.padcols(x).reshape(x.shape[0], self.nb, self.sublanes, 128)
-
-    def colblocks(self, x):  # (ncol,) -> (nb, S, 128)
-        if self.blocked:
-            return x  # already (nb, S, 128)
-        return self.padcols(x).reshape(self.nb, self.sublanes, 128)
-
-    def from_blocks(self, x):  # (L, nb, S, 128) -> (L, ncol)
-        if self.blocked:
-            return x
-        return x.reshape(x.shape[0], self.nb * self.bc)[:, : self.ncol]
-
-    def level_operands(self, arrs):
-        """The 17 primal-ordered streams: 14 level fields + plu, paph x2."""
-        blocks = [self.to_blocks(arrs[name]) for name in _LEVEL_FIELDS]
-        return (*blocks, self.to_blocks(arrs["plu"]),
-                self.to_blocks(arrs["paph"]), self.to_blocks(arrs["paph"]))
-
-    # BlockSpecs.  ``rev`` runs the level axis backwards (DO JK=KLEV,1,-1).
-    def specs(self, rev: bool):
-        blk = (1, 1, self.sublanes, 128)
-        nlev = self.nlev
-        if rev:
-            lev = lambda b, k: (nlev - 1 - k, b, 0, 0)
-            plu = lambda b, k: (jnp.minimum(nlev - k, nlev - 1), b, 0, 0)
-            hi = lambda b, k: (nlev - k, b, 0, 0)
-        else:
-            lev = lambda b, k: (k, b, 0, 0)
-            plu = lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0)
-            hi = lambda b, k: (k + 1, b, 0, 0)
-        mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
-        lev_s, plu_s, hi_s = mk(lev), mk(plu), mk(hi)
-        col_s = pl.BlockSpec(
-            (1, self.sublanes, 128), lambda b, k: (b, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        smem_s = pl.BlockSpec(memory_space=pltpu.SMEM)
-        return lev_s, plu_s, hi_s, col_s, smem_s
-
-    def field_specs(self, rev: bool):
-        lev_s, plu_s, hi_s, _, _ = self.specs(rev)
-        return [lev_s] * N_LEVEL_FIELDS + [plu_s, lev_s, hi_s]
-
-    def out_shape(self):
-        return jax.ShapeDtypeStruct(
-            (self.nlev, self.nb, self.sublanes, 128), self.dtype
-        )
-
-    def col_shape(self):
-        return jax.ShapeDtypeStruct((self.nb, self.sublanes, 128), self.dtype)
-
-    def scalar_args(self):
-        n = self.nlev
-        return (self.ceta.reshape(n, 1), self.zscalm.reshape(n, 1),
-                self.notlast.reshape(n, 1))
-
-    def scratch(self, n):
-        return [pltpu.VMEM((self.sublanes, 128), self.dtype)] * n
-
-
 def _assemble_outputs(lay: _Layout, params: Params, outs,
                       levels_major: bool) -> Cloudsc2Outputs:
     """(8 level streams) -> Cloudsc2Outputs with flux/enthalpy assembly
-    (cloudsc2.F90:694-735).  Linear, so valid for tangents too."""
-    tent, tenq, tenl, teni, pclc, pcov, rfln, sfln = [
-        lay.from_blocks(o) for o in outs
-    ]
-    top = jnp.zeros((1, lay.ncol), lay.dtype)
-    pfplsl = jnp.concatenate([top, rfln], axis=0)
-    pfplsn = jnp.concatenate([top, sfln], axis=0)
-    out = Cloudsc2Outputs(
-        tenl_t=tent, tenl_q=tenq, tenl_l=tenl, tenl_i=teni,
-        pclc=pclc, pfplsl=pfplsl, pfplsn=pfplsn,
-        pfhpsl=-pfplsl * params.yomcst.rlvtt,
-        pfhpsn=-pfplsn * params.yomcst.rlstt,
-        pcovptot=pcov,
+    (cloudsc2.F90:694-735).  Linear, so valid for tangents too; one
+    shared implementation with the NL wrapper (unblock_outputs)."""
+    from .cloudsc2_kernel import unblock_outputs
+
+    return unblock_outputs(
+        Cloudsc2BlockedOutputs(*outs), params, lay.ncol, levels_major
     )
-    if not levels_major:
-        out = Cloudsc2Outputs(*(x.T for x in out))
-    return out
 
 
 def _seed_streams(lay: _Layout, params: Params, d_outputs: Cloudsc2Outputs,
@@ -331,6 +204,13 @@ def cloudsc2_pallas_tl(
     unit — returns (outputs, d_outputs, checkpoints)."""
     if save_checkpoints and not blocked:
         raise ValueError("save_checkpoints requires blocked=True")
+    if not (bool(params.yrephli.lphylin) or ldrain1d):
+        # the fused level body hardcodes the LPHYLIN dqs/dT branch
+        # (forced .TRUE. upstream, dwarf_cloudsc.F90:107)
+        raise NotImplementedError(
+            "the Pallas TL kernel implements LPHYLIN=True only; use "
+            "cloudsc2jax.tlad for lphylin=False"
+        )
     lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
     d_arrs = {k: jnp.asarray(v, lay.dtype) for k, v in d_inputs._asdict().items()}
     if not (levels_major or blocked):
@@ -490,6 +370,12 @@ def cloudsc2_pallas_ad(
     trajectory) and the returned ``outputs`` is ``None``."""
     if checkpoints is not None and not blocked:
         raise ValueError("external checkpoints require blocked=True")
+    if not (bool(params.yrephli.lphylin) or ldrain1d):
+        # see cloudsc2_pallas_tl — refuse rather than silently diverge
+        raise NotImplementedError(
+            "the Pallas AD kernels implement LPHYLIN=True only; use "
+            "cloudsc2jax.tlad for lphylin=False"
+        )
     lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
     lev_fwd = lay.field_specs(rev=False)
     lev_rev = lay.field_specs(rev=True)

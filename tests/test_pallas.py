@@ -96,3 +96,24 @@ def test_pallas_fuse_satur_matches(state):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() / scale < 2e-5, name
+
+
+def test_pallas_rejects_lphylin_false(state):
+    """The fused kernels hardcode the LPHYLIN branch; a non-LPHYLIN
+    configuration must be refused, not silently diverged from
+    (physics.cloudsc2 carries the FOEALFA branch)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from cloudsc2jax.pallas.tlad_kernel import cloudsc2_pallas_tl
+
+    inputs = state.kernel_inputs(dtype=np.float32)
+    params = dataclasses.replace(
+        state.params,
+        yrephli=dataclasses.replace(state.params.yrephli, lphylin=False),
+    )
+    with _pytest.raises(NotImplementedError):
+        cloudsc2_pallas(inputs, params, interpret=True)
+    with _pytest.raises(NotImplementedError):
+        cloudsc2_pallas_tl(inputs, inputs, params, interpret=True)
