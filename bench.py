@@ -25,6 +25,17 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache shared with the CLI/tests (first-process
+    # compiles through the remote AOT helper can take minutes otherwise)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from cloudsc2jax.state import Cloudsc2State
 
     ngptot = int(os.environ.get("CLOUDSC2_BENCH_NGPTOT", 163840))
