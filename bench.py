@@ -47,9 +47,10 @@ def main():
 
     # expand the 100 stored columns to ngptot ON DEVICE: host-side
     # expansion + a GB-scale transfer takes minutes on a slow host CPU /
-    # tunnel, device tiling is milliseconds
+    # tunnel, device tiling is milliseconds.  Built lazily so the blocked
+    # configurations never materialise the standard layout at all.
     state = Cloudsc2State.synthetic(ngptot=100, nlev=137)
-    inputs = state.device_kernel_inputs(ngptot, dtype=np.float32)
+    inputs = None
 
     from functools import partial
 
@@ -99,6 +100,9 @@ def main():
 
         fn = jax.jit(partial(cloudsc2, params=state.params))
         impl = "xla"
+
+    if inputs is None:  # paths that did not build their own layout
+        inputs = state.device_kernel_inputs(ngptot, dtype=np.float32)
 
     # Benchmark hygiene for remote-execution tunnels where
     # block_until_ready can be a no-op and identical in-flight calls may

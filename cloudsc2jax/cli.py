@@ -86,9 +86,8 @@ def main(argv=None):
         pass
 
     from . import dist
-    from .drivers import adjoint_test, run_nl, taylor_test
     from .state import Cloudsc2State
-    from .timer import ZHPM, PerformanceTimer
+    from .timer import PerformanceTimer
 
     here = pathlib.Path(__file__).resolve().parents[1]
     input_path = args.input or here / "tests" / "fixtures" / "input.h5"
@@ -114,10 +113,12 @@ def main(argv=None):
     # the block count must divide the device count — otherwise fall back
     # to the standard layout + shard_map over raw columns
     ndev = len(devices)
+    nproc = jax.process_count()
     nb64 = -(-ngptot // (64 * 128))
     use_blocked = (
         args.pallas
         and args.variant in ("nl", "tlad")
+        and nproc == 1
         and (ndev == 1 or nb64 % ndev == 0)
     )
     args._blocked = use_blocked
@@ -127,6 +128,14 @@ def main(argv=None):
         )
         if ndev > 1:
             inputs = dist.shard_inputs(inputs, mesh, axis=1)
+    elif nproc > 1:
+        # each process materialises only its shard of the global column
+        # range (≙ the per-rank hyperslab reads, expand_mod.F90:30-46)
+        sl = dist.local_column_slice(ngptot)
+        inputs = state.device_kernel_inputs(
+            sl.stop - sl.start, dtype=dtype, col_offset=sl.start
+        )
+        inputs = dist.shard_inputs(inputs, mesh)
     else:
         inputs = state.device_kernel_inputs(ngptot, dtype=dtype)
         inputs = dist.shard_inputs(inputs, mesh)
@@ -227,7 +236,10 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
 
     if args.variant == "ad":
         timer.thread_start(0)
-        res = adjoint_test(inputs, state.params, lregcl=True)
+        # --threshold is in working-precision epsilons here too (the AD
+        # criterion is 1e4 x eps upstream, cloudsc_driver_ad_mod.F90:289)
+        thr = args.threshold if args.threshold != 10.0 else 1.0e4
+        res = adjoint_test(inputs, state.params, lregcl=True, threshold=thr)
         timer.thread_log(0, ngptot)
         timer.thread_end(0)
         timer.end()

@@ -115,7 +115,11 @@ def shard_inputs(pytree, mesh: Mesh, axis: int = 0):
         if jax.process_count() == 1:
             # device arrays re-shard in place; no host round-trip
             return jax.device_put(x, sh)
-        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        # multi-host: x is this process's LOCAL block (callers build it
+        # with local_column_slice / device_kernel_inputs(col_offset=...));
+        # device arrays pass through without a host round-trip
+        local = x if isinstance(x, jax.Array) else np.asarray(x)
+        return jax.make_array_from_process_local_data(sh, local)
 
     return jax.tree.map(place, pytree)
 

@@ -52,6 +52,22 @@ def run_nl(
     kernel instance per device on its local shard, zero collectives.
     The XLA backend is auto-partitioned by jit from the input shardings.
     """
+    key = (id(params), ldrain1d, backend, id(mesh), sublanes)
+    hit = _NL_CACHE.get(key)
+    if hit is None or hit[0] is not params:
+        hit = (params, _nl_step(params, ldrain1d, backend, mesh, sublanes,
+                                inputs), mesh)
+        _NL_CACHE[key] = hit
+    return hit[1](inputs)
+
+
+# Jitted-step cache: repeated run_nl calls (CLI --repeat, benchmark loops)
+# must reuse one trace/executable instead of re-jitting a fresh closure —
+# same rationale as _TLAD_CACHE below.
+_NL_CACHE: dict = {}
+
+
+def _nl_step(params, ldrain1d, backend, mesh, sublanes, example):
     if backend == "pallas_blocked":
         from .pallas.cloudsc2_kernel import cloudsc2_pallas
 
@@ -61,8 +77,8 @@ def run_nl(
         if mesh is not None:
             from . import dist
 
-            fn = dist.shard_map_columns(fn, mesh, inputs, axis=1)
-        return jax.jit(fn)(inputs)
+            fn = dist.shard_map_columns(fn, mesh, example, axis=1)
+        return jax.jit(fn)
     if backend == "pallas":
         from .pallas.cloudsc2_kernel import cloudsc2_pallas
 
@@ -73,10 +89,9 @@ def run_nl(
         if mesh is not None:
             from . import dist
 
-            fn = dist.shard_map_columns(fn, mesh, inputs)
-        return jax.jit(fn)(inputs)
-    fn = jax.jit(partial(cloudsc2, params=params, ldrain1d=ldrain1d))
-    return fn(inputs)
+            fn = dist.shard_map_columns(fn, mesh, example)
+        return jax.jit(fn)
+    return jax.jit(partial(cloudsc2, params=params, ldrain1d=ldrain1d))
 
 
 def map_columns(fn, tree, nproma: int):
@@ -86,19 +101,30 @@ def map_columns(fn, tree, nproma: int):
     (cloudsc_driver_mod.F90:82): not for vectorisation — XLA handles that
     — but for *working-set control*: reverse-mode over the level scan
     stores per-level residuals proportional to the column count, so very
-    large batches run as sequential blocks.  Column count must divide by
-    ``nproma``.
+    large batches run as sequential blocks.  A partial final block is
+    padded with replicas of column 0 (columns are independent and inputs
+    are cyclically expanded, so padding is just more replicas — the
+    reference handles its partial block via ICEND,
+    cloudsc_driver_mod.F90:83).
     """
     leaves = jax.tree.leaves(tree)
     ncol = leaves[0].shape[0]
-    if ncol % nproma:
-        raise ValueError(f"ncol={ncol} not divisible by nproma={nproma}")
+    nblocks = -(-ncol // nproma)
+    npad = nblocks * nproma - ncol
+
+    def pad(x):
+        if npad == 0:
+            return x
+        rep = jnp.broadcast_to(x[:1], (npad,) + x.shape[1:])
+        return jnp.concatenate([x, rep], axis=0)
 
     blocked = jax.tree.map(
-        lambda x: x.reshape(ncol // nproma, nproma, *x.shape[1:]), tree
+        lambda x: pad(x).reshape(nblocks, nproma, *x.shape[1:]), tree
     )
     out = jax.lax.map(fn, blocked)
-    return jax.tree.map(lambda x: x.reshape(ncol, *x.shape[2:]), out)
+    return jax.tree.map(
+        lambda x: x.reshape(nblocks * nproma, *x.shape[2:])[:ncol], out
+    )
 
 
 def run_tlad(
@@ -380,7 +406,10 @@ def adjoint_test(
 
     norm1, norm2 = norms(inputs, d_inputs)
     norm1, norm2 = np.asarray(norm1), np.asarray(norm2)
-    eps64 = np.finfo(np.float64).eps
+    # machine epsilon of the WORKING precision: the reference compares
+    # against EPSILON(1.0_JPRB) (cloudsc_driver_ad_mod.F90:258), which is
+    # eps32 under -DSINGLE — an f32 run must be judged in f32 units
+    eps64 = np.finfo(np.asarray(inputs.pt).dtype).eps
     norm3 = np.abs(norm1 - norm2) / eps64
     norm3 = np.where(norm2 != 0.0, norm3 / np.where(norm2 != 0.0, np.abs(norm2), 1.0), norm3)
     max_err = float(norm3.max())

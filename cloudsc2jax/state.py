@@ -24,20 +24,25 @@ from .physics.satur import satur
 __all__ = ["Cloudsc2State"]
 
 
-def _tile_columns(tree, ngptot: int):
+def _tile_columns(tree, ngptot: int, col_offset: int = 0):
     """Cyclic column expansion on device (EXPAND_R2/R3 semantics,
-    expand_mod.F90:270-335): tile + truncate along the leading axis."""
+    expand_mod.F90:270-335): tile + truncate along the leading axis.
+    ``col_offset`` starts the cycle at that global column (per-host
+    shard materialisation)."""
     import jax
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(1,))
-    def tile(x, n):
+    @partial(jax.jit, static_argnums=(1, 2))
+    def tile(x, n, off):
         import jax.numpy as jnp
 
-        reps = -(-n // x.shape[0])
-        return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:n]
+        if off % x.shape[0] == 0:
+            reps = -(-n // x.shape[0])
+            return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:n]
+        idx = (off + jnp.arange(n)) % x.shape[0]
+        return x[idx]
 
-    return jax.tree.map(lambda x: tile(x, ngptot), tree)
+    return jax.tree.map(lambda x: tile(x, ngptot, col_offset), tree)
 
 
 @dataclasses.dataclass
@@ -62,14 +67,19 @@ class Cloudsc2State:
 
         ``col_slice`` implements the per-rank hyperslab read of
         expand_mod.F90:30-46: a host materialises only its shard of the
-        expanded column range.
+        expanded column range — the stored columns are loaded and the
+        shard is built by cyclic indexing, never the full NGPTOT array.
         """
         with cio.open_store(path) as f:
             klon_file = int(f["KLON"][0])
+        if col_slice is not None:
+            fields, params = cio.load_input_h5(path)
+            idx = np.arange(col_slice.start, col_slice.stop) % klon_file
+            fields = {k: v[idx] for k, v in fields.items()}
+            return cls(fields=fields, params=params,
+                       ngptot=ngptot or klon_file, klon_file=klon_file)
         fields, params = cio.load_input_h5(path, ngptot=ngptot)
         ngptot = ngptot or klon_file
-        if col_slice is not None:
-            fields = {k: v[col_slice] for k, v in fields.items()}
         return cls(fields=fields, params=params, ngptot=ngptot, klon_file=klon_file)
 
     @classmethod
@@ -147,6 +157,7 @@ class Cloudsc2State:
     def device_kernel_inputs(
         self, ngptot: Optional[int] = None, dtype=None,
         levels_major: bool = False, blocked_sublanes: Optional[int] = None,
+        col_offset: int = 0,
     ) -> Cloudsc2Inputs:
         """Kernel inputs expanded to ``ngptot`` columns ON DEVICE.
 
@@ -162,6 +173,11 @@ class Cloudsc2State:
         multiple of S*128 with replicas), for
         ``cloudsc2_pallas(..., blocked=True)`` — the generation pass IS
         the relayout, so the kernel sees zero extra copies.
+
+        ``col_offset`` shifts the cyclic expansion: a multi-host process
+        materialising its shard of the global column range [o, o+n)
+        passes ``col_offset=o`` so column i holds global column o+i
+        (the per-rank hyperslab semantics of expand_mod.F90:30-46).
         """
         import jax
 
@@ -179,15 +195,16 @@ class Cloudsc2State:
             nb = -(-ngptot // bc)
             klon = self.klon_file
 
-            @partial(jax.jit, static_argnums=(1, 2, 3))
-            def blockify(b, nb, S, klon):
-                idx = jnp.arange(nb * S * 128) % klon
+            @partial(jax.jit, static_argnums=(1, 2, 3, 4))
+            def blockify(b, nb, S, klon, off):
+                idx = (off + jnp.arange(nb * S * 128)) % klon
                 return Cloudsc2Inputs(
                     *(x.T[:, idx].reshape(x.shape[1], nb, S, 128) for x in b)
                 )
 
-            return blockify(jax.device_put(base), nb, S, klon)
-        tiled = _tile_columns(jax.device_put(base), ngptot)
+            return blockify(jax.device_put(base), nb, S, klon, col_offset)
+        tiled = _tile_columns(jax.device_put(base), ngptot,
+                              col_offset=col_offset)
         if levels_major:
             tiled = Cloudsc2Inputs(*(x.T for x in tiled))
         return tiled

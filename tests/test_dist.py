@@ -175,3 +175,50 @@ def test_shard_map_blocked_pallas(mesh):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() / scale < 5e-6, name
+
+
+def test_map_columns_pads_partial_block(state):
+    """A partial final NPROMA block is padded with replicas and sliced
+    back (≙ the reference's ICEND partial block)."""
+    from functools import partial
+
+    from cloudsc2jax.drivers import map_columns
+    from cloudsc2jax.physics.cloudsc2 import cloudsc2
+
+    inputs = state.kernel_inputs()
+    f = partial(cloudsc2, params=state.params)
+    ref = f(inputs)
+    out = jax.jit(lambda i: map_columns(f, i, nproma=33))(inputs)  # 100 % 33 != 0
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-18)
+
+
+def test_device_inputs_col_offset_matches_global_slice():
+    """Per-host shard materialisation: device_kernel_inputs(col_offset=o)
+    must equal columns [o, o+n) of the full cyclic expansion."""
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=9)
+    full = st.device_kernel_inputs(300, dtype=np.float32)
+    shard = st.device_kernel_inputs(120, dtype=np.float32, col_offset=130)
+    for name, a, b in zip(full._fields, shard, full):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)[130:250], err_msg=name
+        )
+
+
+def test_load_col_slice_is_cyclic_shard(tmp_path):
+    """state.load(col_slice=...) materialises only the shard, with the
+    cyclic-expansion values of the global column range."""
+    import pathlib
+
+    from cloudsc2jax.state import Cloudsc2State
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    full = Cloudsc2State.load(fixtures / "input.h5", ngptot=250)
+    shard = Cloudsc2State.load(
+        fixtures / "input.h5", ngptot=250, col_slice=slice(90, 180)
+    )
+    for k, v in shard.fields.items():
+        np.testing.assert_array_equal(v, full.fields[k][90:180], err_msg=k)
