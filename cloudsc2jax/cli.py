@@ -277,8 +277,40 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         finite = all(
             bool(np.isfinite(np.asarray(x)).all()) for x in jax.tree.leaves(res)
         )
-        print(f"tlad outputs finite: {finite}", file=sys.stderr)
-        return 0 if finite else 1
+        # adjoint identity over the work unit, <Mdx,Mdx> vs <dx, M^T Mdx>
+        # (cloudsc_driver_ad_mod.F90:184-264), with the canonical
+        # dx = 0.01 x; computed on device, only scalars fetched
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _norms(i, d, a):
+            cst = state.params.yomcst
+            if hasattr(d, "rfln"):  # blocked 8-stream contract
+                n1 = sum(
+                    jnp.sum(jnp.square(x))
+                    for x in (d.tenl_t, d.tenl_q, d.tenl_l, d.tenl_i,
+                              d.pclc, d.pcovptot)
+                )
+                n1 += (1.0 + cst.rlvtt**2) * jnp.sum(jnp.square(d.rfln))
+                n1 += (1.0 + cst.rlstt**2) * jnp.sum(jnp.square(d.sfln))
+            else:
+                n1 = sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(d))
+            n2 = sum(
+                jnp.sum(0.01 * x * ax)
+                for x, ax in zip(jax.tree.leaves(i), jax.tree.leaves(a))
+            )
+            return n1, n2
+
+        n1, n2 = _norms(inputs, dout, adj)
+        rel = abs(float(n1) - float(n2)) / max(abs(float(n2)), 1e-300)
+        tol = 1e-10 if args.dtype == "f64" else 1e-2  # f32 dot-product rounding
+        ok = finite and rel < tol
+        print(
+            f"tlad outputs finite: {finite};"
+            f" adjoint identity rel err: {rel:.3e} (tol {tol:g})",
+            file=sys.stderr,
+        )
+        return 0 if ok else 1
 
 
 if __name__ == "__main__":
