@@ -173,3 +173,33 @@ def test_checkpoint_reuse_adjoint_matches(state):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() / scale < 1e-5, name
+
+
+@pytest.mark.parametrize("lregcl", [False, True])
+def test_tlad_kernels_ldrain1d(state, f32_inputs, f32_increments, lregcl):
+    """TL/AD kernels through the LDRAIN1D clear-sky evaporation branch
+    (cloudsc2.F90:556-591 active): parity with jax.jvp/vjp including the
+    safe-where guards in reverse mode."""
+    out_ref, dout_ref = cloudsc2_tl(
+        f32_inputs, f32_increments, state.params, lregcl=lregcl,
+        ldrain1d=True,
+    )
+    out, dout = cloudsc2_pallas_tl(
+        f32_inputs, f32_increments, state.params, lregcl=lregcl,
+        ldrain1d=True, sublanes=1, interpret=True,
+    )
+    _assert_tree_close(out, out_ref, 5e-6, "primal")
+    _assert_tree_close(dout, dout_ref, 5e-5, "tangent")
+
+    _, adj_ref = cloudsc2_ad(
+        f32_inputs, dout_ref, state.params, lregcl=lregcl, ldrain1d=True
+    )
+    _, adj = cloudsc2_pallas_ad(
+        f32_inputs, dout_ref, state.params, lregcl=lregcl, ldrain1d=True,
+        sublanes=1, interpret=True,
+    )
+    for name, a, b in zip(adj_ref._fields, adj, adj_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 2e-4, name
