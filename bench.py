@@ -25,6 +25,11 @@ import numpy as np
 def main():
     import jax
 
+    # honor JAX_PLATFORMS even when a site hook pre-selected a platform
+    plat_env = os.environ.get("JAX_PLATFORMS")
+    if plat_env:
+        jax.config.update("jax_platforms", plat_env)
+
     # persistent compile cache shared with the CLI/tests (first-process
     # compiles through the remote AOT helper can take minutes otherwise)
     try:
@@ -38,7 +43,11 @@ def main():
 
     from cloudsc2jax.state import Cloudsc2State
 
-    ngptot = int(os.environ.get("CLOUDSC2_BENCH_NGPTOT", 163840))
+    platform0 = jax.devices()[0].platform
+    # headline config on accelerators; a CPU fallback at 160k would take
+    # many minutes on a 1-core host — shrink unless explicitly requested
+    default_ngptot = 163840 if platform0 == "tpu" else 8192
+    ngptot = int(os.environ.get("CLOUDSC2_BENCH_NGPTOT", default_ngptot))
     repeats = int(os.environ.get("CLOUDSC2_BENCH_REPEATS", 20))
     use_pallas = os.environ.get("CLOUDSC2_BENCH_PALLAS", "1") == "1"
     # "nl" (headline) or "tlad" (fused forward+TL+AD work unit)
