@@ -127,10 +127,13 @@ class Yoethf:
     r3ies: float = 22.587
     r4les: float = 32.19
     r4ies: float = -0.7
+    # R5* and R5AL*CP are SUPHEC derivations (R5LES = R3LES*(RTT-R4LES),
+    # R5ALVCP = R5LES*RLVTT/RCPD, ...); these literals must stay equal to
+    # what ifs_defaults() computes — from_h5 overrides them from file
     r5les: float = 4217.45694
-    r5ies: float = 6185.57
-    r5alvcp: float = 10497.6
-    r5alscp: float = 17451.2
+    r5ies: float = 6185.67582
+    r5alvcp: float = 10497584.68169531
+    r5alscp: float = 17451123.253362577
     ralvdcp: float = 2489.08
     ralsdcp: float = 2821.21
     ralfdcp: float = 332.14

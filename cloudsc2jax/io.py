@@ -193,20 +193,13 @@ def synthetic_state(
     pt += 0.8 * rng.standard_normal((nlev, nlon))
     pt = pt.clip(180.0, 320.0)
 
-    # humidity: fraction of saturation with a moist lower troposphere
+    # humidity: fraction of saturation with a moist lower troposphere;
+    # qsat via the kernel's own SATUR (single source of the saturation
+    # formula — elementwise, so the (nlev, nlon) file layout is fine)
     params0 = Params.ifs_defaults(ceta=pap[:, 0] / paph[nlev, 0], ptsphy=ptsphy)
-    thf, cst = params0.yoethf, params0.yomcst
-    alfa = np.minimum(
-        1.0,
-        ((np.maximum(thf.rtice, np.minimum(thf.rtwat, pt)) - thf.rtice)
-         * thf.rtwat_rtice_r) ** 2,
-    )
-    ew = thf.r2es * (
-        alfa * np.exp(thf.r3les * (pt - cst.rtt) / (pt - thf.r4les))
-        + (1.0 - alfa) * np.exp(thf.r3ies * (pt - cst.rtt) / (pt - thf.r4ies))
-    )
-    qs = np.minimum(0.5, ew / pap)
-    qs = qs / (1.0 - cst.retv * qs)
+    from .physics.satur import satur
+
+    qs = np.asarray(satur(pap, pt, params0, lphylin=True, kflag=2), np.float64)
     rh = (
         0.55
         + 0.35 * np.exp(-z_full[:, None] / 3000.0)
@@ -283,29 +276,34 @@ def synthetic_state(
     return fields, params0
 
 
-def expand_columns(fields: Dict[str, np.ndarray], ngptot: int) -> Dict[str, np.ndarray]:
+def expand_columns(
+    fields: Dict[str, np.ndarray], ngptot: int, columns_first: bool = False
+) -> Dict[str, np.ndarray]:
     """Cyclically tile the stored columns up to ``ngptot`` grid points.
 
     Equivalent of EXPAND_R2/R3 (expand_mod.F90:270-335) without the NPROMA
-    block gymnastics: the column axis is last in file order, so this is a
-    tile + truncate.
+    block gymnastics.  ``columns_first=True`` returns framework order
+    ``(ngptot, …)`` directly — the native memcpy sweep produces exactly
+    that layout, so the large back-and-forth transposes are skipped (the
+    slow-host rule: never pay avoidable ngptot-scale numpy passes).
     """
     from .native import hostinfo
 
     out = {}
     for k, v in fields.items():
         nlon = v.shape[-1]
-        # column axis is last in file order; expand with the native
-        # memcpy sweep when available (columns-first layout), else tile
+        # src prep touches only the ~100 stored columns — cheap
         src = np.ascontiguousarray(np.moveaxis(np.asarray(v, np.float64), -1, 0))
         dst = np.empty((ngptot,) + src.shape[1:], dtype=np.float64)
         if hostinfo.expand_f64(src, dst):
-            out[k] = np.ascontiguousarray(np.moveaxis(dst, 0, -1))
+            out[k] = dst if columns_first else np.ascontiguousarray(
+                np.moveaxis(dst, 0, -1)
+            )
         else:
             reps = -(-ngptot // nlon)
-            out[k] = np.ascontiguousarray(
-                np.tile(v, (1,) * (v.ndim - 1) + (reps,))[..., :ngptot]
-            )
+            tiled = np.tile(v, (1,) * (v.ndim - 1) + (reps,))[..., :ngptot]
+            out[k] = _columns_first(tiled) if columns_first \
+                else np.ascontiguousarray(tiled)
     return out
 
 
@@ -351,6 +349,12 @@ def load_input_h5(path, ngptot: Optional[int] = None):
                 abor1(f"input store {path} is missing dataset {key}")
         nlev = int(f["KLEV"][0])
         ptsphy = float(f["PTSPHY"][0])
+        missing = [
+            k for k in INPUT_FIELDS
+            if k not in f and k != "TENDENCY_CML_A"  # defaults to zeros
+        ]
+        if missing:
+            abor1(f"input store {path} is missing datasets {missing}")
         raw = {k: np.asarray(f[k], dtype=np.float64) for k in INPUT_FIELDS if k in f}
         from .constants import Yoethf, Yomcst, Yophnc, Yomncl, Yrecldp, Yrephli
 
@@ -370,7 +374,7 @@ def load_input_h5(path, ngptot: Optional[int] = None):
     if "TENDENCY_CML_A" not in raw:
         raw["TENDENCY_CML_A"] = np.zeros_like(raw["PT"])
     if ngptot is not None:
-        raw = expand_columns(raw, ngptot)
+        return expand_columns(raw, ngptot, columns_first=True), params
     return {k: _columns_first(v) for k, v in raw.items()}, params
 
 
@@ -379,7 +383,7 @@ def load_reference_h5(path, ngptot: Optional[int] = None):
     with open_store(path) as f:
         raw = {k: np.asarray(f[k], dtype=np.float64) for k in REFERENCE_FIELDS if k in f}
     if ngptot is not None:
-        raw = expand_columns(raw, ngptot)
+        return expand_columns(raw, ngptot, columns_first=True)
     return {k: _columns_first(v) for k, v in raw.items()}
 
 

@@ -85,8 +85,7 @@ class Cloudsc2State:
     @classmethod
     def synthetic(cls, ngptot: int = 100, nlev: int = 137, seed: int = 2026) -> "Cloudsc2State":
         raw, params = cio.synthetic_state(nlon=min(ngptot, 100), nlev=nlev, seed=seed)
-        raw = cio.expand_columns(raw, ngptot)
-        fields = {k: np.moveaxis(v, -1, 0) for k, v in raw.items()}
+        fields = cio.expand_columns(raw, ngptot, columns_first=True)
         return cls(fields=fields, params=params, ngptot=ngptot, klon_file=min(ngptot, 100))
 
     # ------------------------------------------------------------- kernel IO

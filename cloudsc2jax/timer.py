@@ -132,7 +132,10 @@ class PerformanceTimer:
 
     @property
     def elapsed(self) -> float:
-        return (self._t1 or time.perf_counter()) - self._t0
+        if self._t0 is None:
+            return 0.0
+        t1 = self._t1 if self._t1 is not None else time.perf_counter()
+        return t1 - self._t0
 
     # -- reporting (timer_mod.F90:114-174)
     def print_performance(
@@ -148,8 +151,11 @@ class PerformanceTimer:
         for lane in rows:
             t = max(lane.t_total, 1e-12)
             mflops = 1.0e-6 * zhpm * (lane.columns / 100.0) / t
+            # per-lane block count, like the reference's per-thread rows
+            # (timer_mod.F90:124-148)
+            blks = -(-lane.columns // max(nproma, 1))
             print(
-                f"{lane.lane_id:>12} {ngptot:>10} {lane.columns:>10} {lane.calls:>8}"
+                f"{lane.lane_id:>12} {ngptot:>10} {lane.columns:>10} {blks:>8}"
                 f" {nproma:>8} {1e3*t:>12.1f} {mflops:>12.0f} {lane.columns/t:>14.0f}",
                 file=file,
             )

@@ -12,9 +12,10 @@ cloudsc2_ad/dwarf_cloudsc.F90:105) and ``lregcl=False`` the exact one
 
 The reference AD stores the full per-level forward trajectory
 (cloudsc2ad.F90:228-292) before its reverse sweep; ``jax.vjp`` makes the
-same space/time trade-off automatically, and :func:`cloudsc2_ad` exposes a
-``checkpoint_levels`` policy to rematerialise the level scan instead
-(``jax.checkpoint`` over the scan) when memory is tighter than FLOPs.
+same space/time trade-off automatically, and :func:`cloudsc2_ad` exposes
+``remat=True`` to checkpoint the level-scan body instead (each level's
+inputs and carries are stored, the body is recomputed during the reverse
+sweep) when memory is tighter than FLOPs.
 """
 
 from __future__ import annotations
@@ -60,13 +61,16 @@ def cloudsc2_vjp(
 
     ``remat=False`` (default) stores the forward trajectory like the
     reference AD's checkpoint-everything strategy (~40 (KLON,KLEV) arrays,
-    cloudsc2ad.F90:228-292).  ``remat=True`` recomputes the forward sweep
-    during the reverse pass instead (``jax.checkpoint`` with no saveable
-    policy) — the FLOPs-for-memory trade the reference cannot make.
+    cloudsc2ad.F90:228-292).  ``remat=True`` checkpoints the level-scan
+    BODY (``remat_level`` in :func:`cloudsc2`): the reverse pass stores
+    only each level's inputs and carries and recomputes the body — the
+    FLOPs-for-memory trade the reference cannot make (an order of
+    magnitude off peak adjoint memory at 137 levels).
     """
-    f = partial(cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d)
-    if remat:
-        f = jax.checkpoint(f, policy=jax.checkpoint_policies.nothing_saveable)
+    f = partial(
+        cloudsc2, params=params, lregcl=lregcl, ldrain1d=ldrain1d,
+        remat_level=remat,
+    )
     outputs, vjp_fn = jax.vjp(f, inputs)
     return outputs, vjp_fn
 

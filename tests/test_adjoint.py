@@ -58,8 +58,11 @@ def test_run_tlad_consistency(state, inputs):
 
 
 def test_remat_matches_stored(state, inputs):
-    """remat=True recomputes the forward sweep but must give identical
-    adjoints (the FLOPs-for-memory trade, SURVEY §5.4)."""
+    """remat=True (level-body checkpoint: reverse sweep recomputes each
+    level from its inputs+carries) must agree with the stored-trajectory
+    adjoint to f64 recomputation roundoff — the FLOPs-for-memory trade,
+    SURVEY §5.4.  Recomputation reorders fusions, so agreement is to a
+    few tens of ulps per field, not bitwise."""
     from cloudsc2jax.tlad import cloudsc2_vjp
 
     rng = np.random.default_rng(3)
@@ -68,5 +71,7 @@ def test_remat_matches_stored(state, inputs):
     ybar = jax.tree.map(lambda y: np.asarray(rng.standard_normal(np.shape(y))), out1)
     (a1,) = vjp1(ybar)
     (a2,) = vjp2(ybar)
-    for x, y in zip(a1, a2):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-300)
+    for name, x, y in zip(a1._fields, a1, a2):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = max(np.abs(x).max(), 1e-300)
+        assert np.abs(x - y).max() / scale < 1e-12, name
