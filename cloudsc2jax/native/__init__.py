@@ -31,11 +31,17 @@ class _HostInfo:
         self._tried = True
         try:
             if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
-                    check=True,
-                    capture_output=True,
-                )
+                try:
+                    subprocess.run(
+                        ["g++", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
+                        check=True,
+                        capture_output=True,
+                    )
+                except Exception:
+                    # no compiler / read-only install dir: a stale
+                    # prebuilt .so still beats the Python fallbacks
+                    if not _SO.exists():
+                        raise
             lib = ctypes.CDLL(str(_SO))
             lib.cloudsc2_sched_getcpu.restype = ctypes.c_int
             lib.cloudsc2_monotonic_ns.restype = ctypes.c_int64
@@ -75,6 +81,10 @@ class _HostInfo:
             return False
         src = np.ascontiguousarray(src, dtype=np.float64)
         assert dst.flags["C_CONTIGUOUS"] and dst.dtype == np.float64
+        # shape agreement guards the C memcpy sweep (a trailing-shape
+        # mismatch would be an out-of-bounds write, not an exception)
+        assert src.shape[0] > 0, "expand_f64: empty source"
+        assert dst.shape[1:] == src.shape[1:], (dst.shape, src.shape)
         depth = int(np.prod(src.shape[1:], dtype=np.int64)) if src.ndim > 1 else 1
         lib.cloudsc2_expand_f64(
             src.ctypes.data,

@@ -46,6 +46,14 @@ def energy_probe() -> Optional[Dict[str, float]]:
     """
     if os.environ.get("EC_PMON") != "1":
         return None
+    try:  # native probe first (≙ mycpu.c-style C shim; same counters)
+        from .native import hostinfo
+
+        uj = hostinfo.energy_uj()
+        if uj > 0:
+            return {"energy_j": uj * 1e-6, "power_w": float("nan")}
+    except Exception:
+        pass
     cray_e = _read_first("/sys/cray/pm_counters/energy")
     cray_p = _read_first("/sys/cray/pm_counters/power")
     if cray_e is not None:

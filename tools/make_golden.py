@@ -44,12 +44,6 @@ def load_reference_numpy_port():
     return mod
 
 
-class _Group:
-    def __init__(self, obj):
-        for k, v in obj.__dict__.items() if hasattr(obj, "__dict__") else []:
-            setattr(self, k, v)
-
-
 def as_attr_group(dc):
     class G:
         pass
@@ -159,12 +153,19 @@ def main():
     fixtures = REPO / "tests" / "fixtures"
     fixtures.mkdir(parents=True, exist_ok=True)
 
-    fields, params = cio.synthetic_state(
-        nlon=args.nlon, nlev=args.nlev, seed=args.seed
-    )
-    if not args.ldrain1d:
-        cio.write_input_h5(fixtures / "input.h5", fields, params)
-        print(f"wrote {fixtures/'input.h5'}")
+    if args.ldrain1d and (fixtures / "input.h5").exists():
+        # alternate goldens must correspond to the COMMITTED input state,
+        # not a regenerated one (seed/nlon flags could silently diverge)
+        fw, params = cio.load_input_h5(fixtures / "input.h5")
+        fields = {k: np.moveaxis(v, 0, -1) for k, v in fw.items()}
+        print(f"loaded state from {fixtures/'input.h5'}")
+    else:
+        fields, params = cio.synthetic_state(
+            nlon=args.nlon, nlev=args.nlev, seed=args.seed
+        )
+        if not args.ldrain1d:
+            cio.write_input_h5(fixtures / "input.h5", fields, params)
+            print(f"wrote {fixtures/'input.h5'}")
 
     t0 = time.time()
     outputs = run_reference_port(fields, params, ldrain1d=args.ldrain1d)

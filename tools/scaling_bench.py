@@ -40,11 +40,19 @@ def main():
 
     import jax
 
+    # NOT redundant with env handling: site hooks on this machine
+    # pre-select a platform before the env var is consulted, so the
+    # config must be set explicitly (same pattern as cli.py/conftest.py)
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
     if args.dtype == "f64":
         jax.config.update("jax_enable_x64", True)
+    if args.variant == "tlad" and args.interpret:
+        raise SystemExit(
+            "--interpret is not plumbed through run_tlad; use "
+            "--variant nl for off-TPU interpret runs"
+        )
 
     from functools import partial
 
@@ -86,15 +94,31 @@ def main():
             fn = jax.jit(dist.shard_map_columns(kfn, mesh, inputs))
         else:
             fn = jax.jit(partial(cloudsc2, params=state.params))
-        jax.block_until_ready(fn(inputs))
-        times = []
-        for i in range(args.repeats):
-            v = inputs._replace(pt=inputs.pt + dtype(1e-6 * (i + 1)))
-            jax.block_until_ready(v)
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(v))
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[len(times) // 2]
+        # chained-accumulator methodology (CLAUDE.md: per-call syncs add
+        # ~25 ms tunnel latency; distinct inputs prevent coalescing)
+        import jax.numpy as jnp
+
+        def scalar_step(v):
+            out = fn(v)
+            return sum(
+                jnp.sum(jnp.ravel(o)[:2]) for o in jax.tree.leaves(out)
+            )
+
+        scalar_step = jax.jit(scalar_step)
+        variants = [
+            inputs._replace(pt=inputs.pt + dtype(1e-6 * (i + 1)))
+            for i in range(args.repeats)
+        ]
+        acc = None
+        for v in variants[: max(2, args.repeats // 4)]:  # warm chain
+            acc = scalar_step(v) if acc is None else acc + scalar_step(v)
+        assert np.isfinite(float(acc))
+        acc = None
+        t0 = time.perf_counter()
+        for v in variants:
+            acc = scalar_step(v) if acc is None else acc + scalar_step(v)
+        assert np.isfinite(float(acc))
+        dt = (time.perf_counter() - t0) / args.repeats
         rate = ng / dt
         if base_rate is None:
             base_rate = rate
