@@ -155,3 +155,52 @@ def test_cuadjtqs_tl_ad_consistency(params, kcall):
     n1 = float(jnp.sum(jt * jt) + jnp.sum(jq * jq))
     n2 = float(jnp.sum(dp * ap) + jnp.sum(dt_ * at) + jnp.sum(dq * aq))
     assert abs(n1 - n2) / abs(n2) < 1e-12, kcall
+
+
+def test_tropopause_eta_matches_fortran_scan(params):
+    """The masked-max formulation must equal the reference's downward
+    overwrite scan (cloudsc2.F90:314-326: last level in the
+    0.1<eta<0.4 band with T inversion wins, default 0.1)."""
+    from cloudsc2jax.physics.cloudsc2 import _tropopause_eta
+
+    rng = np.random.default_rng(11)
+    nlev, ncol = 31, 40
+    ceta = np.sort(rng.uniform(0.01, 1.0, nlev))
+    ztp1 = 200.0 + 80.0 * rng.random((ncol, nlev))
+
+    def fortran_scan(tcol):
+        ztrpaus = 0.1
+        for jk in range(nlev - 1):  # DO JK=1,KLEV-1
+            if 0.1 < ceta[jk] < 0.4 and tcol[jk] > tcol[jk + 1]:
+                ztrpaus = ceta[jk]
+        return ztrpaus
+
+    want = np.array([fortran_scan(ztp1[j]) for j in range(ncol)])
+    got = np.asarray(_tropopause_eta(jnp.asarray(ztp1), jnp.asarray(ceta)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_crit_rel_humidity_profile(params):
+    """The blended critical-RH profile against a direct transcription of
+    the four regimes (cloudsc2.F90:384-399)."""
+    from cloudsc2jax.physics.cloudsc2 import _crit_rel_humidity
+
+    def direct(eta, zeta3):
+        zrh1, zrh3, zdeta2 = 1.0, 1.0, 0.3
+        zrh2 = (0.35 + 0.14 * ((zeta3 - 0.25) / 0.15) ** 2
+                + 0.04 * min(zeta3 - 0.25, 0.0) / 0.15)
+        zdeta1 = 0.09 + 0.16 * (0.4 - zeta3) / 0.3
+        if eta < zeta3:
+            return zrh3
+        if eta < zeta3 + zdeta2:
+            return zrh3 + (zrh2 - zrh3) * ((eta - zeta3) / zdeta2)
+        if eta < 1.0 - zdeta1:
+            return zrh2
+        return zrh1 + (zrh2 - zrh1) * np.sqrt(max((1.0 - eta) / zdeta1, 0.0))
+
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        eta = float(rng.uniform(0.0, 1.0))
+        zeta3 = float(rng.uniform(0.1, 0.4))
+        got = float(_crit_rel_humidity(jnp.float64(eta), jnp.float64(zeta3)))
+        np.testing.assert_allclose(got, direct(eta, zeta3), rtol=1e-14)
