@@ -188,7 +188,6 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes):
         from .pallas.tlad_kernel import (
             cloudsc2_pallas_ad,
             cloudsc2_pallas_tl,
-            fold_flux_seeds,
         )
 
         blocked = backend == "pallas_blocked"
@@ -204,9 +203,9 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes):
                     sublanes=sublanes, blocked=True, save_checkpoints=True,
                 )
                 _, adj = cloudsc2_pallas_ad(
-                    i, fold_flux_seeds(dout, params), params, lregcl=lregcl,
+                    i, dout, params, lregcl=lregcl,
                     ldrain1d=ldrain1d, sublanes=sublanes, blocked=True,
-                    checkpoints=ckpts,
+                    checkpoints=ckpts, fold_seeds=True,
                 )
                 return out, dout, adj
             out, dout = cloudsc2_pallas_tl(

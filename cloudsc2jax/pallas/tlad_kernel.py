@@ -295,7 +295,7 @@ def _fwd_ckpt_kernel(*refs, params: Params, ldrain1d: bool):
 
 
 def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
-                nlev: int):
+                nlev: int, seed_scales=None):
     """Reverse sweep (≙ cloudsc2ad.F90:934-1668, DO JK=KLEV,1,-1): the
     grid's level axis runs backwards via the reversed index maps; the
     level trajectory is recomputed from raw fields + carry checkpoint and
@@ -329,6 +329,12 @@ def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
 
     _, vjp_fn = jax.vjp(f, fields, cols, carry_in)
     seeds = tuple(r[0, 0] for r in seed_refs)
+    if seed_scales is not None:
+        # flux-seed fold done in-register on load (saves the standalone
+        # XLA pass between the TL and AD custom calls; see
+        # fold_flux_seeds for the (1+L^2) derivation)
+        srfl, ssfl = seed_scales
+        seeds = seeds[:6] + (seeds[6] * srfl, seeds[7] * ssfl)
     dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
     dfields, dcols, dcarry_in = vjp_fn((seeds, dcarry))
 
@@ -351,9 +357,14 @@ def cloudsc2_pallas_ad(
     levels_major: bool = False,
     blocked: bool = False,
     checkpoints=None,
+    fold_seeds: bool = False,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Inputs]:
     """Fused-kernel adjoint CLOUDSC2: returns (outputs, input_adjoints).
+
+    ``fold_seeds=True`` (blocked only) applies the
+    :func:`fold_flux_seeds` (1+L²) flux scaling in-register on seed load
+    instead of as a separate XLA pass.
 
     Drop-in for :func:`cloudsc2jax.tlad.cloudsc2_ad` on the f32 TPU path
     (≙ CLOUDSC2AD, cloudsc2ad.F90:177-202): forward checkpoint sweep +
@@ -370,6 +381,8 @@ def cloudsc2_pallas_ad(
     trajectory) and the returned ``outputs`` is ``None``."""
     if checkpoints is not None and not blocked:
         raise ValueError("external checkpoints require blocked=True")
+    if fold_seeds and not blocked:
+        raise ValueError("fold_seeds requires blocked=True")
     if not (bool(params.yrephli.lphylin) or ldrain1d):
         # see cloudsc2_pallas_tl — refuse rather than silently diverge
         raise NotImplementedError(
@@ -413,6 +426,11 @@ def cloudsc2_pallas_ad(
         functools.partial(
             _rev_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
             nlev=lay.nlev,
+            seed_scales=(
+                (1.0 + float(params.yomcst.rlvtt) ** 2,
+                 1.0 + float(params.yomcst.rlstt) ** 2)
+                if fold_seeds else None
+            ),
         ),
         grid=(lay.nb, lay.nlev),
         in_specs=[smem_s] * 3 + lev_rev + [rev_spec] * 3
