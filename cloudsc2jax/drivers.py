@@ -193,14 +193,17 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes):
         blocked = backend == "pallas_blocked"
 
         def pstep(i):
-            di = jax.tree.map(lambda x: 0.01 * x, i)
             if blocked:
-                # TL streams out the 3 carry checkpoints so the adjoint
-                # runs reverse-sweep-only — one full forward sweep of
-                # HBM traffic deleted from the work unit
+                # canonical increments dx = 0.01 x formed in-register
+                # (dscale) — no grid-scale tangent arrays exist, like the
+                # reference drivers' block-local temporaries; TL streams
+                # out the 3 carry checkpoints so the adjoint runs
+                # reverse-sweep-only — one full forward sweep of HBM
+                # traffic deleted from the work unit
                 out, dout, ckpts = cloudsc2_pallas_tl(
-                    i, di, params, lregcl=lregcl, ldrain1d=ldrain1d,
+                    i, None, params, lregcl=lregcl, ldrain1d=ldrain1d,
                     sublanes=sublanes, blocked=True, save_checkpoints=True,
+                    dscale=0.01,
                 )
                 _, adj = cloudsc2_pallas_ad(
                     i, dout, params, lregcl=lregcl,
@@ -208,6 +211,7 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes):
                     checkpoints=ckpts, fold_seeds=True,
                 )
                 return out, dout, adj
+            di = jax.tree.map(lambda x: 0.01 * x, i)
             out, dout = cloudsc2_pallas_tl(
                 i, di, params, lregcl=lregcl, ldrain1d=ldrain1d,
                 sublanes=sublanes,

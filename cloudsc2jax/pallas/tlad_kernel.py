@@ -124,20 +124,30 @@ def _seed_streams(lay: _Layout, params: Params, d_outputs: Cloudsc2Outputs,
 
 # ------------------------------------------------------------------ TL
 def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
-               save_ckpt: bool = False):
+               save_ckpt: bool = False, dscale=None):
     """Fused trajectory+tangent level step (≙ cloudsc2tl.F90 dual
     statements); primal and tangent carries in VMEM scratch.
 
     ``save_ckpt`` additionally streams out the per-level primal carry-IN
     (3 streams) so a following reverse sweep can skip its own forward
-    sweep entirely (the fused work unit's byte diet)."""
+    sweep entirely (the fused work unit's byte diet).
+
+    ``dscale`` replaces the 17 tangent streams with in-register
+    ``dx = dscale * x`` — the canonical driver increments
+    (cloudsc_driver_{tl,ad}_mod.F90: 0.01·x) as the reference holds them,
+    block-local temporaries rather than grid-scale arrays."""
     ceta_ref, zscalm_ref, notlast_ref, *rest = refs
     lev_refs, rest = rest[:_NF], rest[_NF:]
-    dlev_refs, rest = rest[:_NF], rest[_NF:]
-    ztrpaus_ref, paphsfc_ref, dpaphsfc_ref = rest[:3]
+    if dscale is None:
+        dlev_refs, rest = rest[:_NF], rest[_NF:]
+        ztrpaus_ref, paphsfc_ref, dpaphsfc_ref = rest[:3]
+        rest = rest[3:]
+    else:
+        ztrpaus_ref, paphsfc_ref = rest[:2]
+        rest = rest[2:]
     nout = 2 * N_OUTPUTS + (3 if save_ckpt else 0)
-    out_refs = rest[3 : 3 + nout]
-    rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s = rest[3 + nout :]
+    out_refs = rest[:nout]
+    rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s = rest[nout:]
 
     k = pl.program_id(1)
 
@@ -148,12 +158,16 @@ def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
 
     scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
     fields = tuple(r[0, 0] for r in lev_refs)
-    dfields = tuple(r[0, 0] for r in dlev_refs)
     ztrpaus = ztrpaus_ref[0]
     cols = (ztrpaus, paphsfc_ref[0])
     # the tropopause eta is piecewise-constant in the inputs — zero tangent
     # (cloudsc2.F90:314-326; same convention as the pure-JAX kernel)
-    dcols = (jnp.zeros_like(ztrpaus), dpaphsfc_ref[0])
+    if dscale is None:
+        dfields = tuple(r[0, 0] for r in dlev_refs)
+        dcols = (jnp.zeros_like(ztrpaus), dpaphsfc_ref[0])
+    else:
+        dfields = tuple(dscale * x for x in fields)
+        dcols = (jnp.zeros_like(ztrpaus), dscale * paphsfc_ref[0])
     carry = (rfl_s[...], sfl_s[...], cov_s[...])
     dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
     if save_ckpt:
@@ -186,6 +200,7 @@ def cloudsc2_pallas_tl(
     levels_major: bool = False,
     blocked: bool = False,
     save_checkpoints: bool = False,
+    dscale=None,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Outputs]:
     """Fused-kernel tangent-linear CLOUDSC2: returns (outputs, d_outputs).
@@ -201,9 +216,16 @@ def cloudsc2_pallas_tl(
     ``save_checkpoints=True`` (blocked only) additionally returns the
     3 per-level primal carry-in streams, letting
     :func:`cloudsc2_pallas_ad` skip its forward sweep in the fused work
-    unit — returns (outputs, d_outputs, checkpoints)."""
+    unit — returns (outputs, d_outputs, checkpoints).
+
+    ``dscale`` (with ``d_inputs=None``): the canonical driver increments
+    dx = dscale·x are formed in-register — no tangent streams exist in
+    HBM at all, matching the reference drivers' block-local perturbation
+    temporaries (cloudsc_driver_tl_mod.F90:156-171)."""
     if save_checkpoints and not blocked:
         raise ValueError("save_checkpoints requires blocked=True")
+    if (d_inputs is None) == (dscale is None):
+        raise ValueError("provide exactly one of d_inputs or dscale")
     if not (bool(params.yrephli.lphylin) or ldrain1d):
         # the fused level body hardcodes the LPHYLIN dqs/dT branch
         # (forced .TRUE. upstream, dwarf_cloudsc.F90:107)
@@ -212,41 +234,54 @@ def cloudsc2_pallas_tl(
             "cloudsc2jax.tlad for lphylin=False"
         )
     lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
-    d_arrs = {k: jnp.asarray(v, lay.dtype) for k, v in d_inputs._asdict().items()}
-    if not (levels_major or blocked):
-        d_arrs = {k: v.T for k, v in d_arrs.items()}
 
     lev_s_list = lay.field_specs(rev=False)
     _, _, _, col_s, smem_s = lay.specs(rev=False)
     out_spec = lev_s_list[0]
     nout = 2 * N_OUTPUTS + (3 if save_checkpoints else 0)
 
+    if dscale is None:
+        d_arrs = {
+            k: jnp.asarray(v, lay.dtype) for k, v in d_inputs._asdict().items()
+        }
+        if not (levels_major or blocked):
+            d_arrs = {k: v.T for k, v in d_arrs.items()}
+        in_specs = [smem_s] * 3 + lev_s_list + lev_s_list + [col_s] * 3
+        operands = (
+            *lay.level_operands(lay.arrs),
+            *lay.level_operands(d_arrs),
+            lay.ztrpaus_b, lay.paphsfc_b,
+            lay.colblocks(d_arrs["paph"][lay.nlev]),
+        )
+        nstreams = 2 * _NF
+    else:
+        in_specs = [smem_s] * 3 + lev_s_list + [col_s] * 2
+        operands = (
+            *lay.level_operands(lay.arrs), lay.ztrpaus_b, lay.paphsfc_b
+        )
+        nstreams = _NF
+
     kernel = functools.partial(
         _tl_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
         save_ckpt=save_checkpoints,
+        dscale=None if dscale is None else float(dscale),
     )
     cost = pl.CostEstimate(
         flops=2 * 292 * lay.nlev * lay.nb * lay.bc,
-        bytes_accessed=(2 * _NF + nout)
+        bytes_accessed=(nstreams + nout)
         * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
         transcendentals=2 * 10 * lay.nlev * lay.nb * lay.bc,
     )
     outs = pl.pallas_call(
         kernel,
         grid=(lay.nb, lay.nlev),
-        in_specs=[smem_s] * 3 + lev_s_list + lev_s_list + [col_s] * 3,
+        in_specs=in_specs,
         out_specs=[out_spec] * nout,
         out_shape=[lay.out_shape()] * nout,
         scratch_shapes=lay.scratch(6),
         cost_estimate=cost,
         interpret=interpret,
-    )(
-        *lay.scalar_args(),
-        *lay.level_operands(lay.arrs),
-        *lay.level_operands(d_arrs),
-        lay.ztrpaus_b, lay.paphsfc_b,
-        lay.colblocks(d_arrs["paph"][lay.nlev]),
-    )
+    )(*lay.scalar_args(), *operands)
     if blocked:
         out_b = Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS])
         dout_b = Cloudsc2BlockedOutputs(*outs[N_OUTPUTS : 2 * N_OUTPUTS])
