@@ -203,3 +203,28 @@ def test_tlad_kernels_ldrain1d(state, f32_inputs, f32_increments, lregcl):
         assert np.isfinite(a).all(), name
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() / scale < 2e-4, name
+
+
+def test_dscale_matches_explicit_increments(state):
+    """In-register canonical increments (dscale) must equal explicitly
+    streamed d_inputs = dscale*x, and the primal must be unaffected."""
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    params = st.params
+    blk = st.device_kernel_inputs(256, dtype=np.float32, blocked_sublanes=1)
+    di = jax.tree.map(lambda x: np.float32(0.01) * x, blk)
+    out_a, dout_a = cloudsc2_pallas_tl(
+        blk, di, params, lregcl=True, blocked=True, interpret=True
+    )
+    out_b, dout_b, _ = cloudsc2_pallas_tl(
+        blk, None, params, lregcl=True, blocked=True, save_checkpoints=True,
+        dscale=0.01, interpret=True,
+    )
+    _assert_tree_close(dout_b, dout_a, 1e-5, "dscale tangent")
+    for name, a, b in zip(out_a._fields, out_b, out_a):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+    with pytest.raises(ValueError):
+        cloudsc2_pallas_tl(blk, di, params, blocked=True, dscale=0.01,
+                           interpret=True)
