@@ -417,3 +417,85 @@ def adjoint_test(
     norm3 = np.where(norm2 != 0.0, norm3 / np.where(norm2 != 0.0, np.abs(norm2), 1.0), norm3)
     max_err = float(norm3.max())
     return AdjointResult(max_error=max_err, passed=max_err < threshold)
+
+
+def run_chunked(
+    state: Cloudsc2State,
+    ngptot: int,
+    *,
+    variant: str = "nl",
+    chunk: int = 524288,
+    dtype=np.float32,
+    sublanes: int = None,
+    lregcl: bool = True,
+    interpret: bool = False,
+):
+    """Stream batches larger than HBM through the blocked kernels.
+
+    One v5e holds ~768k f32 columns of kernel streams resident
+    (DESIGN.md §3); bigger NGPTOT runs as a sequence of device-generated
+    chunks — each chunk is tiled on the accelerator from the ~100 stored
+    columns at its global column offset (cyclic-expansion semantics, ≙
+    expand_mod.F90), so chunking moves no extra host bytes.  The whole
+    per-chunk pipeline (generation + kernel + checksum) is ONE jitted
+    call (cached across run_chunked calls) and the chunks chain through
+    a device accumulator, so a run costs one host round-trip total.
+    Columns are rounded up to whole chunks (padding replicas, expand
+    semantics).  Returns (columns_processed, checksum).
+    """
+    if sublanes is None:
+        sublanes = 128 if variant == "nl" else 64
+    bc = sublanes * 128
+    chunk = (chunk // bc) * bc or bc
+    nb = chunk // bc
+    if interpret and variant != "nl":
+        raise ValueError("interpret mode supports variant='nl' only")
+    key = (id(state), variant, sublanes, nb, np.dtype(dtype).str, lregcl,
+           interpret)
+    hit = _CHUNK_CACHE.get(key)
+    if hit is None or hit[0] is not state:
+        hit = (state, *_chunk_step(state, variant, sublanes, nb, dtype,
+                                   lregcl, interpret))
+        _CHUNK_CACHE[key] = hit
+    _, base, step = hit
+
+    nchunks = -(-ngptot // chunk)
+    acc = jnp.zeros((), jnp.float32)
+    for i in range(nchunks):
+        acc = step(base, np.int32(i * chunk), acc)
+    return nchunks * chunk, float(acc)
+
+
+_CHUNK_CACHE: dict = {}
+
+
+def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False):
+    from .pallas.cloudsc2_kernel import cloudsc2_pallas
+
+    bc = sublanes * 128
+    klon = state.klon_file
+    params = state.params
+    base = jax.device_put(Cloudsc2Inputs(
+        *(np.asarray(x)[:klon]
+          for x in state._kernel_inputs_cm(dtype=dtype))
+    ))
+    if variant != "nl":
+        tlad_step = _tlad_step(params, lregcl, False, True, None,
+                               "pallas_blocked", sublanes)
+
+    @jax.jit
+    def step(b, off, s):
+        idx = (off + jnp.arange(nb * bc)) % klon
+        blk = Cloudsc2Inputs(
+            *(x.T[:, idx].reshape(x.shape[1], nb, sublanes, 128) for x in b)
+        )
+        if variant == "nl":
+            out = cloudsc2_pallas(blk, params, blocked=True, fuse_satur=True,
+                                  interpret=interpret)
+        else:
+            out = tlad_step(blk)
+        return s + sum(
+            jnp.sum(jnp.ravel(o)[:2]) for o in jax.tree.leaves(out)
+        )
+
+    return base, step

@@ -30,19 +30,16 @@ def _tile_columns(tree, ngptot: int, col_offset: int = 0):
     ``col_offset`` starts the cycle at that global column (per-host
     shard materialisation)."""
     import jax
+    import jax.numpy as jnp
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(1, 2))
+    @partial(jax.jit, static_argnums=(1,))
     def tile(x, n, off):
-        import jax.numpy as jnp
-
-        if off % x.shape[0] == 0:
-            reps = -(-n // x.shape[0])
-            return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:n]
         idx = (off + jnp.arange(n)) % x.shape[0]
         return x[idx]
 
-    return jax.tree.map(lambda x: tile(x, ngptot, col_offset), tree)
+    off = jnp.asarray(col_offset, jnp.int32)
+    return jax.tree.map(lambda x: tile(x, ngptot, off), tree)
 
 
 @dataclasses.dataclass
@@ -194,14 +191,17 @@ class Cloudsc2State:
             nb = -(-ngptot // bc)
             klon = self.klon_file
 
-            @partial(jax.jit, static_argnums=(1, 2, 3, 4))
+            @partial(jax.jit, static_argnums=(1, 2, 3))
             def blockify(b, nb, S, klon, off):
+                # off is traced: chunked streaming reuses one executable
+                # across arbitrary global column offsets
                 idx = (off + jnp.arange(nb * S * 128)) % klon
                 return Cloudsc2Inputs(
                     *(x.T[:, idx].reshape(x.shape[1], nb, S, 128) for x in b)
                 )
 
-            return blockify(jax.device_put(base), nb, S, klon, col_offset)
+            return blockify(jax.device_put(base), nb, S, klon,
+                            jnp.int32(col_offset))
         tiled = _tile_columns(jax.device_put(base), ngptot,
                               col_offset=col_offset)
         if levels_major:

@@ -222,3 +222,18 @@ def test_load_col_slice_is_cyclic_shard(tmp_path):
     )
     for k, v in shard.fields.items():
         np.testing.assert_array_equal(v, full.fields[k][90:180], err_msg=k)
+
+
+def test_run_chunked_matches_single_shot(state):
+    """Streaming execution over device-generated chunks equals one-shot
+    execution of the same global column range (cyclic offsets)."""
+    from cloudsc2jax.drivers import run_chunked
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=13)
+    n1, s1 = run_chunked(st, 512, variant="nl", chunk=256, sublanes=1,
+                         interpret=True)
+    n2, s2 = run_chunked(st, 512, variant="nl", chunk=512, sublanes=1,
+                         interpret=True)
+    assert n1 == n2 == 512
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
