@@ -184,4 +184,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        import traceback
+
+        if os.environ.get("CLOUDSC2_BENCH_RETRY") == "1":
+            raise
+        # rare transient first-contact errors on this platform (e.g.
+        # FAILED_PRECONDITION: TPU backend error through the tunnel)
+        # poison the in-process backend: retry ONCE in a fresh process.
+        traceback.print_exc()
+        print("bench.py: retrying once in a fresh process", file=sys.stderr)
+        os.environ["CLOUDSC2_BENCH_RETRY"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
