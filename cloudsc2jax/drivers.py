@@ -471,8 +471,8 @@ _CHUNK_CACHE: dict = {}
 
 def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False):
     from .pallas.cloudsc2_kernel import cloudsc2_pallas
+    from .state import blockify_columns
 
-    bc = sublanes * 128
     klon = state.klon_file
     params = state.params
     base = jax.device_put(Cloudsc2Inputs(
@@ -485,17 +485,19 @@ def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False):
 
     @jax.jit
     def step(b, off, s):
-        idx = (off + jnp.arange(nb * bc)) % klon
-        blk = Cloudsc2Inputs(
-            *(x.T[:, idx].reshape(x.shape[1], nb, sublanes, 128) for x in b)
-        )
+        blk = blockify_columns(b, nb, sublanes, klon, off)
         if variant == "nl":
             out = cloudsc2_pallas(blk, params, blocked=True, fuse_satur=True,
                                   interpret=interpret)
         else:
             out = tlad_step(blk)
+        # partition-invariant checksum: full per-leaf sums over all
+        # columns of the chunk (f32 accumulation), so the same global
+        # column range gives the same value for any chunk size — and
+        # every output stream is forced, including the adjoint paph/plu
+        # shift-scatter assembly that a sliced probe would let XLA DCE.
         return s + sum(
-            jnp.sum(jnp.ravel(o)[:2]) for o in jax.tree.leaves(out)
+            jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
         )
 
     return base, step

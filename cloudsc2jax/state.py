@@ -21,7 +21,24 @@ from .constants import NCLDQI, NCLDQL, NCLV, Params
 from .physics.cloudsc2 import Cloudsc2Inputs, Cloudsc2Outputs
 from .physics.satur import satur
 
-__all__ = ["Cloudsc2State"]
+__all__ = ["Cloudsc2State", "blockify_columns"]
+
+
+def blockify_columns(base, nb: int, sublanes: int, klon: int, off):
+    """Cyclic-expand ``klon`` stored columns straight into the blocked
+    kernel layout ``(nlev[,+1], nb, sublanes, 128)`` starting at global
+    column ``off``: the generation pass IS the relayout, so the blocked
+    kernels see zero extra copies (DESIGN.md §3).  ``off`` may be traced
+    — callers that stream chunks at varying offsets (e.g.
+    ``drivers.run_chunked``, whose ``_CHUNK_CACHE`` holds the jitted
+    step) reuse one executable across offsets.  Call inside ``jax.jit``
+    with ``nb``/``sublanes``/``klon`` static."""
+    import jax.numpy as jnp
+
+    idx = (off + jnp.arange(nb * sublanes * 128)) % klon
+    return Cloudsc2Inputs(
+        *(x.T[:, idx].reshape(x.shape[1], nb, sublanes, 128) for x in base)
+    )
 
 
 def _tile_columns(tree, ngptot: int, col_offset: int = 0):
@@ -184,24 +201,13 @@ class Cloudsc2State:
         )
         if blocked_sublanes is not None:
             import jax.numpy as jnp
-            from functools import partial
 
             S = blocked_sublanes
-            bc = S * 128
-            nb = -(-ngptot // bc)
-            klon = self.klon_file
-
-            @partial(jax.jit, static_argnums=(1, 2, 3))
-            def blockify(b, nb, S, klon, off):
-                # off is traced: chunked streaming reuses one executable
-                # across arbitrary global column offsets
-                idx = (off + jnp.arange(nb * S * 128)) % klon
-                return Cloudsc2Inputs(
-                    *(x.T[:, idx].reshape(x.shape[1], nb, S, 128) for x in b)
-                )
-
-            return blockify(jax.device_put(base), nb, S, klon,
-                            jnp.int32(col_offset))
+            nb = -(-ngptot // (S * 128))
+            return jax.jit(blockify_columns, static_argnums=(1, 2, 3))(
+                jax.device_put(base), nb, S, self.klon_file,
+                jnp.int32(col_offset)
+            )
         tiled = _tile_columns(jax.device_put(base), ngptot,
                               col_offset=col_offset)
         if levels_major:

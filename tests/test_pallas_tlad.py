@@ -175,6 +175,38 @@ def test_checkpoint_reuse_adjoint_matches(state):
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
+def test_fold_seeds_in_kernel_matches_external(state):
+    """The production work unit's in-kernel flux-seed fold
+    (``fold_seeds=True``, drivers._tlad_step) equals the external
+    ``fold_flux_seeds`` pass — pins the seeds[:6]/rfln/sfln split and the
+    (1+L²) scales inside ``_rev_kernel``."""
+    from cloudsc2jax.pallas.tlad_kernel import fold_flux_seeds
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    params = st.params
+    blk = st.device_kernel_inputs(256, dtype=np.float32, blocked_sublanes=1)
+    di = jax.tree.map(lambda x: 0.01 * x, blk)
+
+    _, dout = cloudsc2_pallas_tl(
+        blk, di, params, lregcl=True, blocked=True, interpret=True
+    )
+    _, adj_ext = cloudsc2_pallas_ad(
+        blk, fold_flux_seeds(dout, params), params, lregcl=True,
+        blocked=True, interpret=True,
+    )
+    _, adj_ink = cloudsc2_pallas_ad(
+        blk, dout, params, lregcl=True, blocked=True, fold_seeds=True,
+        interpret=True,
+    )
+    # not bit-identical: the in-kernel fold fuses the (1+L²) multiply
+    # into the reverse sweep's f32 arithmetic (different rounding order)
+    for name, a, b in zip(adj_ext._fields, adj_ink, adj_ext):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-5, name
+
+
 @pytest.mark.parametrize("lregcl", [False, True])
 def test_tlad_kernels_ldrain1d(state, f32_inputs, f32_increments, lregcl):
     """TL/AD kernels through the LDRAIN1D clear-sky evaporation branch
