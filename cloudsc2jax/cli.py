@@ -51,11 +51,13 @@ def _build_parser():
                         "(the DR_HOOK/EC_PMON observability analogue)")
     p.add_argument("--platform", default=None,
                    help="jax platform (cpu/tpu); defaults to JAX_PLATFORMS")
-    p.add_argument("--threshold", type=float, default=10.0,
-                   help="validation tolerance in units of machine epsilon "
-                        "(reference: 10, validate_mod.F90:285-289); TPU f64 "
-                        "is emulated — use ~1e4 when validating on-device "
-                        "against CPU-generated goldens")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="validation tolerance in units of machine epsilon; "
+                        "defaults per variant: 10 for nl validation "
+                        "(validate_mod.F90:285-289), 1e4 for the ad "
+                        "symmetry test (cloudsc_driver_ad_mod.F90:289). "
+                        "TPU f64 is emulated — use ~1e4 when validating "
+                        "on-device against CPU-generated goldens")
     return p
 
 
@@ -211,8 +213,9 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
                 plude=inputs.plude.reshape(nlev, -1).T[:ngptot]
             )
         if not args.no_validate and pathlib.Path(reference_path).exists():
+            thr = args.threshold if args.threshold is not None else 10.0
             ok = state.validate_device(
-                val_out, val_in, reference_path, threshold=args.threshold
+                val_out, val_in, reference_path, threshold=thr
             )
         if os.environ.get("CLOUDSC2_WRITE_REFERENCE") == "1":
             # the stored-column block suffices (cyclic expansion); fetch
@@ -247,7 +250,7 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         timer.thread_start(0)
         # --threshold is in working-precision epsilons here too (the AD
         # criterion is 1e4 x eps upstream, cloudsc_driver_ad_mod.F90:289)
-        thr = args.threshold if args.threshold != 10.0 else 1.0e4
+        thr = args.threshold if args.threshold is not None else 1.0e4
         res = adjoint_test(inputs, state.params, lregcl=True, threshold=thr)
         timer.thread_log(0, ngptot)
         timer.thread_end(0)

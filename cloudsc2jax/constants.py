@@ -232,69 +232,245 @@ class Yoethf:
         }
 
 
+# The reference's YRECLDP_LOAD_PARAMETERS reader uses a handful of
+# mixed-case dataset names (yoecldp.F90:281-289); everything else is the
+# uppercased field name.
+_YRECLDP_H5CASE = {
+    "rcl_kkaac": "RCL_KKAac",
+    "rcl_kkbac": "RCL_KKBac",
+    "rcl_kkaau": "RCL_KKAau",
+    "rcl_kkbauq": "RCL_KKBauq",
+    "rcl_kkbaun": "RCL_KKBaun",
+    "rcl_kk_cloud_num_sea": "RCL_KK_cloud_num_sea",
+    "rcl_kk_cloud_num_land": "RCL_KK_cloud_num_land",
+}
+
+_ZERO101 = (0.0,) * 101
+
+
 @_freeze
 class Yrecldp:
-    """Cloud-scheme tunables (reference: yoecldp.F90, loaded at :242-370).
+    """Cloud-scheme tunables (reference: yoecldp.F90 TECLDP, read by
+    YRECLDP_LOAD_PARAMETERS at :242-370 — 122 named scalars plus the
+    RBETA/RBETAP1(0:100) arrays, all mirrored here so an input file
+    written by :func:`cloudsc2jax.io.write_input_h5` carries every
+    dataset the reference binaries read, and ``from_h5`` round-trips a
+    reference-produced file).
 
-    CLOUDSC2 itself consumes only RCLCRIT, RKCONV, RPECONS and RLMIN
-    (cloudsc2.F90:222-224); the remaining members are carried for schema
-    parity with the reference input file.
+    CLOUDSC2 itself (all three variants) consumes only RCLCRIT, RKCONV,
+    RPECONS and RLMIN (cloudsc2.F90:222-224); those defaults are the
+    authoritative SUCLDP values.  The remaining members exist purely for
+    input-file interchangeability: the reference has **no** in-code
+    defaults for them (values always come from input.h5), so the defaults
+    below are representative IFS values where well known and documented
+    zero placeholders for the derived microphysics constants (RCL_CONST*,
+    RCL_X*, ... — computed from the A/B/C/D parameters in the full IFS
+    setup, never referenced in this dwarf).
     """
 
+    # --- consumed by CLOUDSC2 (authoritative SUCLDP defaults):
+    # critical cloud water 0.3 g/kg, Sundqvist conversion time-scale
+    # 6000 s, Kessler evaporation constant (RG*RPECONS = 5.44e-4), and
+    # the condensate threshold.
     rclcrit: float = 0.3e-3
-    rclcrit_sea: float = 0.25e-3
-    rclcrit_land: float = 0.55e-3
     rkconv: float = 1.0 / 6000.0
     rpecons: float = 5.547e-5
+    rlmin: float = 1.0e-8
+
+    # --- schema-parity members (reference reads them; CLOUDSC2 does not)
+    ramid: float = 0.8
+    rcldiff: float = 3.0e-6
+    rcldiff_convi: float = 1.0
+    rclcrit_sea: float = 0.25e-3
+    rclcrit_land: float = 0.55e-3
+    rprc1: float = 100.0
+    rprc2: float = 0.5
+    rcldmax: float = 5.0e-3
+    rvrfactor: float = 5.09e-3
+    rprecrhmax: float = 0.7
     rtaumel: float = 1.1880e4
     ramin: float = 1.0e-8
-    rlmin: float = 1.0e-8
-    rasmice: float = 0.252e-9
-    rbsmice: float = 0.837
+    rkooptau: float = 10800.0
+    rcldtopp: float = 1000.0
+    rlcritsnow: float = 3.0e-5
+    rsnowlin1: float = 1.0e-3
+    rsnowlin2: float = 0.025
+    riceinit: float = 1.0e-12
+    rvice: float = 0.13
+    rvrain: float = 4.0
+    rvsnow: float = 1.0
+    rthomo: float = 235.16
+    rcovpmin: float = 0.1
+    rccn: float = 125.0
+    rnice: float = 0.027
+    rcldtopcf: float = 0.1
+    rdepliqrefrate: float = 0.1
+    rdepliqrefdepth: float = 500.0
+    rdenswat: float = 1000.0
+    rdensref: float = 1.0
+    rcl_ka273: float = 2.4e-2
+    rcl_schmidt: float = 0.6
+    rcl_dynvisc: float = 1.717e-5
+    # Khairoutdinov & Kogan (2000) autoconversion/accretion
+    rcl_kkaac: float = 67.0
+    rcl_kkbac: float = 1.15
+    rcl_kkaau: float = 1350.0
+    rcl_kkbauq: float = 2.47
+    rcl_kkbaun: float = -1.79
+    rcl_kk_cloud_num_sea: float = 50.0
+    rcl_kk_cloud_num_land: float = 300.0
+    # ice/snow/rain particle mass-diameter & fallspeed power laws
+    rcl_ai: float = 0.069
+    rcl_bi: float = 2.0
+    rcl_ci: float = 16.8
+    rcl_di: float = 0.527
+    rcl_as: float = 0.069
+    rcl_bs: float = 2.0
+    rcl_cs: float = 16.8
+    rcl_ds: float = 0.527
+    rcl_ar: float = 523.6
+    rcl_br: float = 3.0
+    rcl_cr: float = 386.8
+    rcl_dr: float = 0.67
+    # derived microphysics constants: zero placeholders (see docstring)
+    ricehi1: float = 0.0
+    ricehi2: float = 0.0
+    rcl_x1i: float = 0.0
+    rcl_x2i: float = 0.0
+    rcl_x3i: float = 0.0
+    rcl_x4i: float = 0.0
+    rcl_const1i: float = 0.0
+    rcl_const2i: float = 0.0
+    rcl_const3i: float = 0.0
+    rcl_const4i: float = 0.0
+    rcl_const5i: float = 0.0
+    rcl_const6i: float = 0.0
+    rcl_apb1: float = 0.0
+    rcl_apb2: float = 0.0
+    rcl_apb3: float = 0.0
+    rcl_x1s: float = 0.0
+    rcl_x2s: float = 0.0
+    rcl_x3s: float = 0.0
+    rcl_x4s: float = 0.0
+    rcl_const1s: float = 0.0
+    rcl_const2s: float = 0.0
+    rcl_const3s: float = 0.0
+    rcl_const4s: float = 0.0
+    rcl_const5s: float = 0.0
+    rcl_const6s: float = 0.0
+    rcl_const7s: float = 0.0
+    rcl_const8s: float = 0.0
+    rcl_x1r: float = 0.0
+    rcl_x2r: float = 0.0
+    rcl_x4r: float = 0.0
+    rcl_cdenom1: float = 0.0
+    rcl_cdenom2: float = 0.0
+    rcl_cdenom3: float = 0.0
+    rcl_const1r: float = 0.0
+    rcl_const2r: float = 0.0
+    rcl_const3r: float = 0.0
+    rcl_const4r: float = 0.0
+    rcl_fac1: float = 0.0
+    rcl_fac2: float = 0.0
+    rcl_const5r: float = 0.0
+    rcl_const6r: float = 0.0
+    rcl_fzrab: float = 0.0
+    rcl_fzrbb: float = 0.0
+    rccnom: float = 0.3
+    rccnss: float = 0.1
+    rccnsu: float = 0.5
+    # logical switches (stored as ints in the file)
+    lcldextra: bool = False
+    lcldbudget: bool = False
+    laerliqautolsp: bool = False
+    laerliqautocp: bool = False
+    laerliqautocpb: bool = False
+    laerliqcoll: bool = False
+    laericesed: bool = False
+    laericeauto: bool = False
+    # integer indices/options
+    nssopt: int = 1
+    ncldtop: int = 13
+    naeclbc: int = 0
+    naecldu: int = 0
+    naeclom: int = 0
+    naeclss: int = 0
+    naeclsu: int = 0
+    nclddiag: int = 0
+    naercld: int = 0
+    # total-water-variance shape parameters (REAL despite the N prefix,
+    # yoecldp.F90:229-230) and the beta-distribution tables
+    nshapep: float = 0.0
+    nshapeq: float = 0.0
+    nbeta: int = 100
+    rbeta: Tuple[float, ...] = _ZERO101
+    rbetap1: Tuple[float, ...] = _ZERO101
 
     @classmethod
     def ifs_defaults(cls) -> "Yrecldp":
-        # SUCLDP standard values: critical cloud water 0.3 g/kg, Sundqvist
-        # conversion time-scale 6000 s, Kessler evaporation constant such
-        # that RG*RPECONS = 5.44e-4.
         return cls()
+
+    @staticmethod
+    def _h5name(field_name: str) -> str:
+        return "YRECLDP_" + _YRECLDP_H5CASE.get(field_name, field_name.upper())
 
     @classmethod
     def from_h5(cls, f) -> "Yrecldp":
-        def g(key, default):
-            h5key = "YRECLDP_" + key.upper()
-            return float(f[h5key][0]) if h5key in f else default
-
+        """Read every YRECLDP_* dataset present (missing ones keep the
+        defaults, so pre-schema-completion archives still load)."""
         d = cls()
-        return cls(
-            **{
-                fld.name: g(fld.name, getattr(d, fld.name))
-                for fld in dataclasses.fields(cls)
-            }
-        )
+        kw = {}
+        for fld in dataclasses.fields(cls):
+            key = cls._h5name(fld.name)
+            if key not in f:
+                kw[fld.name] = getattr(d, fld.name)
+            elif fld.type == "bool":
+                kw[fld.name] = bool(int(f[key][0]))
+            elif fld.type == "int":
+                kw[fld.name] = int(f[key][0])
+            elif fld.name in ("rbeta", "rbetap1"):
+                kw[fld.name] = tuple(float(v) for v in f[key][...].ravel())
+            else:
+                kw[fld.name] = float(f[key][0])
+        return cls(**kw)
 
     def h5_items(self):
         return {
-            "YRECLDP_" + fld.name.upper(): getattr(self, fld.name)
+            self._h5name(fld.name): getattr(self, fld.name)
             for fld in dataclasses.fields(self)
         }
 
 
 @_freeze
 class Yrephli:
-    """Linearised-physics switches (reference: yoephli.F90, loaded :79-97).
+    """Linearised-physics constants (reference: yoephli.F90 TEPHLI, all 16
+    members read by YREPHLI_LOAD_PARAMETERS at :79-97 and mirrored here
+    for input-file interchangeability).
 
     The entry programs force LPHYLIN=.TRUE. (dwarf_cloudsc.F90:107).
     RLPTRC is the mixed-phase transition temperature used by the tanh
     water-fraction approximation (cloudsc2.F90:350); SUPHLI sets it to
-    RTICE + (RTT-RTICE)/sqrt(2).
+    RTICE + (RTT-RTICE)/sqrt(2).  The Louis/boundary-layer members
+    (RLPBB..RLPP00) are never referenced by this dwarf's kernels; their
+    defaults are the standard SUPHLI values.
     """
 
     lphylin: bool = True
     ltlevol: bool = False
+    lenopert: bool = True
+    leppcfls: bool = False
+    lraisanen: bool = False
     rlptrc: float = 266.425
     rlpal1: float = 0.15
     rlpal2: float = 20.0
+    rlpbb: float = 5.0
+    rlpcc: float = 5.0
+    rlpdd: float = 5.0
+    rlpmixl: float = 4000.0
+    rlpbeta: float = 0.2
+    rlpdrag: float = 0.0
+    rlpevap: float = 0.0
+    rlpp00: float = 30000.0
 
     @classmethod
     def ifs_defaults(cls) -> "Yrephli":
@@ -303,25 +479,24 @@ class Yrephli:
 
     @classmethod
     def from_h5(cls, f) -> "Yrephli":
-        def g(key, default, cast=float):
-            h5key = "YREPHLI_" + key.upper()
-            return cast(f[h5key][0]) if h5key in f else default
-
-        return cls(
-            lphylin=True,  # forced by the entry program, as in the reference
-            ltlevol=g("ltlevol", False, lambda v: bool(int(v))),
-            rlptrc=g("rlptrc", 266.425),
-            rlpal1=g("rlpal1", 0.15),
-            rlpal2=g("rlpal2", 20.0),
-        )
+        d = cls()
+        kw = {}
+        for fld in dataclasses.fields(cls):
+            key = "YREPHLI_" + fld.name.upper()
+            if key not in f:
+                kw[fld.name] = getattr(d, fld.name)
+            elif fld.type == "bool":
+                kw[fld.name] = bool(int(f[key][0]))
+            else:
+                kw[fld.name] = float(f[key][0])
+        # LPHYLIN is forced by the entry program, as in the reference
+        kw["lphylin"] = True
+        return cls(**kw)
 
     def h5_items(self):
         return {
-            "YREPHLI_LPHYLIN": int(self.lphylin),
-            "YREPHLI_LTLEVOL": int(self.ltlevol),
-            "YREPHLI_RLPTRC": self.rlptrc,
-            "YREPHLI_RLPAL1": self.rlpal1,
-            "YREPHLI_RLPAL2": self.rlpal2,
+            "YREPHLI_" + fld.name.upper(): getattr(self, fld.name)
+            for fld in dataclasses.fields(self)
         }
 
 

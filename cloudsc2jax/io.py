@@ -6,8 +6,14 @@ Re-designs the reference I/O stack (``src/common/module/file_io_mod.F90``,
 * HDF5 is read/written with h5py; files keep the reference schema exactly
   (datasets stored ``(nlev[, +1], nlon)`` C-order float64, scalars as
   1-element datasets — see cloudsc2_array_state_mod.F90:161-199 and
-  Appendix A of SURVEY.md), so files are interchangeable with the Fortran
-  reference.
+  Appendix A of SURVEY.md).  :func:`write_input_h5` emits every dataset
+  named by the reference's readers — all 14 field groups + run scalars
+  (cloudsc2_array_state_mod.F90:161-199) and the complete constant
+  groups: 9 YOMCST + 19 YOETHF + 122 YRECLDP scalars, the
+  RBETA/RBETAP1(0:100) arrays, and 16 YREPHLI entries (yomcst.F90:
+  167-177, yoethf.F90:79-99, yoecldp.F90:242-370, yoephli.F90:79-97) —
+  verified dataset-by-dataset against the Fortran loader sources by
+  ``tests/test_io.py::test_input_schema_matches_reference_loaders``.
 * The reference's NPROMA-block "expand" machinery (expand_mod.F90:173-335)
   collapses to a cyclic ``np.tile`` over the flat column axis — our layout
   is simply ``(ncol, nlev)``.
@@ -323,8 +329,14 @@ def write_input_h5(path, fields: Dict[str, np.ndarray], params: Params) -> None:
         ds[k] = np.asarray(v, dtype=np.float64)
     for grp in (params.yomcst, params.yoethf, params.yrecldp, params.yrephli):
         for k, v in grp.h5_items().items():
-            if isinstance(v, int):
-                ds[k] = np.array([v], dtype=np.int32)
+            if isinstance(v, (tuple, list, np.ndarray)):
+                # array-valued parameters (YRECLDP_RBETA/RBETAP1(0:100),
+                # read via LOAD_ARRAY, yoecldp.F90:367-369)
+                ds[k] = np.asarray(v, dtype=np.float64)
+            elif isinstance(v, (bool, int, np.integer)):
+                # logicals and integers are int datasets (file_io_mod's
+                # load_scalar logical/int readers)
+                ds[k] = np.array([int(v)], dtype=np.int32)
             else:
                 ds[k] = np.array([float(v)])
     write_store(path, ds)

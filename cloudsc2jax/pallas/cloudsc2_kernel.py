@@ -80,10 +80,10 @@ def _level_physics(
     ``lregcl`` injects the reference's TL/AD perturbation regularisations
     (identity on this nonlinear trajectory; rescales tangents/adjoints
     when the body is differentiated by the fused TL/AD kernels in
-    :mod:`cloudsc2jax.pallas.tlad_kernel`) at the same four sites as the
+    :mod:`cloudsc2jax.pallas.tlad_kernel`) at the same five sites as the
     pure-JAX kernel: the ZYYY cloud-cover damp (cloudsc2tl.F90:574-580),
-    0.1x subsidence (:657), 1/100 autoconversion (:323-324,751-800) and
-    0.7x vapour clipping (:994-1001).
+    0.1x subsidence (:657), the two 1/100 autoconversion damps
+    (:323-324 with :754 and :794) and 0.7x vapour clipping (:994-1001).
     """
     cst, thf = params.yomcst, params.yoethf
     cldp, phli, phnc = params.yrecldp, params.yrephli, params.yophnc

@@ -83,6 +83,39 @@ def field_errors(name: str, result, reference, ngptot: Optional[int] = None) -> 
     )
 
 
+def _stats(a, b):
+    """The five validation reductions (one executable reused across all
+    fields and calls — retracing per field would pay ~10 compiles per
+    validation run against the CLI-startup-latency goal)."""
+    import jax
+    import jax.numpy as jnp
+
+    acc = jnp.float64 if jax.config.jax_enable_x64 else a.dtype
+    d = jnp.abs(a - b)
+    return (
+        jnp.min(a), jnp.max(a), jnp.max(d),
+        jnp.sum(d.astype(acc)), jnp.sum(jnp.abs(b).astype(acc)),
+    )
+
+
+class _LazyJit:
+    """Module-level jit that defers the jax import to first use."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._jitted = None
+
+    def __call__(self, *args):
+        if self._jitted is None:
+            import jax
+
+            self._jitted = jax.jit(self._fn)
+        return self._jitted(*args)
+
+
+_stats_jit = _LazyJit(_stats)
+
+
 def field_errors_jax(
     name: str, result, reference, ngptot: Optional[int] = None
 ) -> FieldErrors:
@@ -92,19 +125,11 @@ def field_errors_jax(
     MPI_REDUCE triple (validate_mod.F90:149-151) — they ride ICI, not
     the host.  Sums accumulate in float64 when x64 is enabled, else in
     the result dtype (documented f32-table mode for on-chip runs)."""
-    import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def stats(a, b):
-        acc = jnp.float64 if jax.config.jax_enable_x64 else a.dtype
-        d = jnp.abs(a - b)
-        return (
-            jnp.min(a), jnp.max(a), jnp.max(d),
-            jnp.sum(d.astype(acc)), jnp.sum(jnp.abs(b).astype(acc)),
-        )
-
-    zmin, zmax, zmaxerr, zerrsum, zsum = [float(s) for s in stats(result, reference)]
+    zmin, zmax, zmaxerr, zerrsum, zsum = [
+        float(s) for s in _stats_jit(result, reference)
+    ]
     return FieldErrors(
         name=name,
         ndim=np.ndim(result),

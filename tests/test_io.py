@@ -85,6 +85,100 @@ def test_input_file_loads_in_reference_shape():
         assert f["PAPH"].shape == (138, 100)
 
 
+def _reference_loader_datasets():
+    """Parse every dataset name the reference's input readers load,
+    straight from the Fortran sources (the ground truth for input.h5
+    interchangeability): the state loader
+    (cloudsc2_array_state_mod.F90:161-199) and the four *_LOAD_PARAMETERS
+    constant readers (yomcst.F90:167-177, yoethf.F90:79-99,
+    yoecldp.F90:242-370, yoephli.F90:79-97)."""
+    import pathlib
+    import re
+
+    ref = pathlib.Path("/root/reference/src/common/module")
+    if not ref.exists():
+        pytest.skip("reference sources not available")
+    names = set()
+    # constant groups: every LOAD_SCALAR/LOAD_ARRAY name
+    for mod in ("yomcst.F90", "yoethf.F90", "yoecldp.F90", "yoephli.F90"):
+        src = (ref / mod).read_text()
+        names |= set(re.findall(r"LOAD_(?:SCALAR|ARRAY)\('(\w+)'", src))
+    # the array state's LOAD path (lines 161-199): scalars + fields;
+    # LOAD_AND_EXPAND_STATE('TENDENCY_CML') splits into _T/_A/_Q/_CLD
+    # datasets (expand_mod.F90:134-171)
+    src = (ref / "cloudsc2_array_state_mod.F90").read_text()
+    load_block = src[
+        src.find("SUBROUTINE CLOUDSC2_ARRAY_STATE_LOAD")
+        : src.find("END SUBROUTINE CLOUDSC2_ARRAY_STATE_LOAD")
+    ]
+    names |= set(re.findall(r"LOAD_(?:SCALAR|ARRAY|AND_EXPAND)\('(\w+)'", load_block))
+    for grp in re.findall(r"LOAD_AND_EXPAND_STATE\('(\w+)'", load_block):
+        names |= {f"{grp}_{sfx}" for sfx in ("T", "A", "Q", "CLD")}
+    return names
+
+
+def test_input_schema_matches_reference_loaders(tmp_path):
+    """write_input_h5 must emit EVERY dataset the reference binaries read
+    (VERDICT r1 item 1: full constant-group schema / interchangeability)."""
+    required = _reference_loader_datasets()
+    assert len(required) > 180  # 14+ fields, 5 scalars, ~168 constants
+
+    fields, params = cio.synthetic_state(nlon=10, nlev=17)
+    path = tmp_path / "input.h5"
+    cio.write_input_h5(path, fields, params)
+    with cio.open_store(path) as f:
+        present = set(f.keys())
+        missing = sorted(required - present)
+        assert not missing, f"datasets the reference reads but we omit: {missing}"
+        # the RBETA tables are (0:100) arrays read via LOAD_ARRAY
+        # (yoecldp.F90:367-369)
+        assert np.asarray(f["YRECLDP_RBETA"]).size == 101
+        assert np.asarray(f["YRECLDP_RBETAP1"]).size == 101
+        # logicals/integers are int datasets, reals are float64
+        assert np.asarray(f["YRECLDP_LCLDEXTRA"]).dtype.kind == "i"
+        assert np.asarray(f["YRECLDP_NSSOPT"]).dtype.kind == "i"
+        assert np.asarray(f["YREPHLI_LENOPERT"]).dtype.kind == "i"
+        assert np.asarray(f["YRECLDP_RAMID"]).dtype.kind == "f"
+
+
+def test_constant_groups_full_roundtrip(tmp_path):
+    """Every YRECLDP/YREPHLI member must survive write->from_h5 with a
+    non-default value (proves from_h5 actually reads each dataset rather
+    than falling back to defaults)."""
+    import dataclasses
+
+    from cloudsc2jax.constants import Yrecldp, Yrephli
+
+    bump = {}
+    for i, fld in enumerate(dataclasses.fields(Yrecldp)):
+        v = getattr(Yrecldp(), fld.name)
+        if fld.type == "bool":
+            bump[fld.name] = not v
+        elif fld.type == "int":
+            bump[fld.name] = v + 7
+        elif isinstance(v, tuple):
+            bump[fld.name] = tuple(0.5 * k + i for k in range(len(v)))
+        else:
+            bump[fld.name] = v + 0.125 * (i + 1)
+    cldp = Yrecldp(**bump)
+    bump2 = {}
+    for i, fld in enumerate(dataclasses.fields(Yrephli)):
+        v = getattr(Yrephli(), fld.name)
+        bump2[fld.name] = (not v) if fld.type == "bool" else v + 0.25 * (i + 1)
+    phli = Yrephli(**bump2)
+
+    fields, params = cio.synthetic_state(nlon=5, nlev=9)
+    params = params.replace(yrecldp=cldp, yrephli=phli)
+    path = tmp_path / "full.h5"
+    cio.write_input_h5(path, fields, params)
+    with cio.open_store(path) as f:
+        back_c = Yrecldp.from_h5(f)
+        back_p = Yrephli.from_h5(f)
+    assert back_c == cldp
+    # LPHYLIN is re-forced to True by from_h5 (entry-program semantics)
+    assert back_p == dataclasses.replace(phli, lphylin=True)
+
+
 def test_device_kernel_inputs_match_host_expansion(state):
     """Device-side tiling (state.device_kernel_inputs) must equal the
     host-side expand_columns path value-for-value (expand_mod.F90

@@ -204,3 +204,206 @@ def test_crit_rel_humidity_profile(params):
         zeta3 = float(rng.uniform(0.1, 0.4))
         got = float(_crit_rel_humidity(jnp.float64(eta), jnp.float64(zeta3)))
         np.testing.assert_allclose(got, direct(eta, zeta3), rtol=1e-14)
+
+
+# ---------------------------------------------------------------- thermo
+# coverage for every shipped fcttre/fccld function (VERDICT r1 item 7):
+# each is checked by a NON-circular identity — autodiff of an
+# independently-tested base function, a cross-function identity, or a
+# fresh numpy transcription of the Fortran formula inside the test.
+
+
+def test_foedelta_and_foeew_phase_split(params):
+    cst, thf = params.yomcst, params.yoethf
+    t = jnp.asarray([cst.rtt - 5.0, cst.rtt + 5.0, cst.rtt])
+    np.testing.assert_array_equal(np.asarray(thermo.foedelta(t, cst)), [0.0, 1.0, 1.0])
+    # sharp split: water curve above RTT, ice below (fcttre.func.h:42-44)
+    warm, cold = t[1], t[0]
+    assert float(thermo.foeew(warm, cst, thf)) == pytest.approx(
+        float(thermo.foeeliq(warm, cst, thf)), rel=1e-14
+    )
+    assert float(thermo.foeew(cold, cst, thf)) == pytest.approx(
+        float(thermo.foeeice(cold, cst, thf)), rel=1e-14
+    )
+
+
+def test_foedesu_is_dlog_foeew_dt(params):
+    # FOEDESU == d/dT ln(FOEEW): R5 = R3*(RTT-R4) (fcttre.func.h:50-52)
+    cst, thf = params.yomcst, params.yoethf
+    t = jnp.asarray([210.0, 250.0, 280.0, 300.0])
+    ad = jax.vmap(jax.grad(lambda x: jnp.log(thermo.foeew(x, cst, thf))))(t)
+    np.testing.assert_allclose(
+        np.asarray(thermo.foedesu(t, cst, thf)), np.asarray(ad), rtol=1e-12
+    )
+
+
+def test_foede_is_foedesu_times_foeldcp(params):
+    # R5ALxCP = R5xES * RLxTT / RCPD (fcttre.func.h:46-48 vs 50-52)
+    cst, thf = params.yomcst, params.yoethf
+    t = jnp.asarray([205.0, 255.0, 275.0, 305.0])
+    np.testing.assert_allclose(
+        np.asarray(thermo.foede(t, cst, thf)),
+        np.asarray(thermo.foedesu(t, cst, thf) * thermo.foeldcp(t, cst, thf)),
+        rtol=1e-12,
+    )
+
+
+def test_foelh_foeldcp_phase_values(params):
+    cst, thf = params.yomcst, params.yoethf
+    warm, cold = jnp.asarray(280.0), jnp.asarray(260.0)
+    assert float(thermo.foelh(warm, cst, thf)) == cst.rlvtt
+    assert float(thermo.foelh(cold, cst, thf)) == cst.rlstt
+    assert float(thermo.foeldcp(warm, cst, thf)) == pytest.approx(
+        cst.rlvtt / cst.rcpd, rel=1e-12
+    )
+    assert float(thermo.foeldcp(cold, cst, thf)) == pytest.approx(
+        cst.rlstt / cst.rcpd, rel=1e-12
+    )
+
+
+def test_foetb_is_dlog_foeewm_outside_mixed_band(params):
+    # FOETB (fcttre.func.h:104-105) == d/dT ln(saturation pressure) in the
+    # pure-phase limits (inside [RTICE,RTWAT] it drops the dalfa/dT term)
+    cst, thf = params.yomcst, params.yoethf
+    warm = jnp.asarray([thf.rtwat + 2.0, 300.0])
+    cold = jnp.asarray([210.0, thf.rtice - 2.0])
+    ad_w = jax.vmap(jax.grad(lambda x: jnp.log(thermo.foeeliq(x, cst, thf))))(warm)
+    ad_c = jax.vmap(jax.grad(lambda x: jnp.log(thermo.foeeice(x, cst, thf))))(cold)
+    np.testing.assert_allclose(np.asarray(thermo.foetb(warm, cst, thf)), np.asarray(ad_w), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(thermo.foetb(cold, cst, thf)), np.asarray(ad_c), rtol=1e-12)
+
+
+def test_foedem_is_dlog_ew_times_ldcp_in_pure_phases(params):
+    cst, thf = params.yomcst, params.yoethf
+    warm, cold = jnp.asarray(thf.rtwat + 3.0), jnp.asarray(thf.rtice - 3.0)
+    dlog_w = jax.grad(lambda x: jnp.log(thermo.foeeliq(x, cst, thf)))(warm)
+    dlog_c = jax.grad(lambda x: jnp.log(thermo.foeeice(x, cst, thf)))(cold)
+    assert float(thermo.foedem(warm, thf)) == pytest.approx(
+        float(dlog_w) * thf.ralvdcp, rel=1e-12
+    )
+    assert float(thermo.foedem(cold, thf)) == pytest.approx(
+        float(dlog_c) * thf.ralsdcp, rel=1e-12
+    )
+
+
+def test_foeldcpm_foelhm_blend(params):
+    cst, thf = params.yomcst, params.yoethf
+    warm, cold = jnp.asarray(300.0), jnp.asarray(220.0)
+    assert float(thermo.foelhm(warm, cst, thf)) == cst.rlvtt
+    assert float(thermo.foelhm(cold, cst, thf)) == cst.rlstt
+    t = jnp.linspace(245.0, 280.0, 15)
+    np.testing.assert_allclose(
+        np.asarray(thermo.foeldcpm(t, thf)),
+        np.asarray(thermo.foelhm(t, cst, thf)) / cst.rcpd,
+        rtol=1e-12,
+    )
+
+
+def _cu_params(params):
+    """Params with RTICECU != RTICE so the convective (KFLAG=1) functions
+    are distinguishable from the stratiform ones (by default SUPHEC sets
+    both to RTT-23 and the *CU functions coincide)."""
+    import dataclasses
+
+    thf = params.yoethf
+    thf_cu = dataclasses.replace(
+        thf, rticecu=thf.rtice - 10.0,
+        rtwat_rticecu_r=1.0 / (thf.rtwat - (thf.rtice - 10.0)),
+    )
+    return params.replace(yoethf=thf_cu)
+
+
+def test_foealfcu_matches_fortran_formula(params):
+    # fresh numpy transcription of fcttre.func.h:122-123
+    p = _cu_params(params)
+    thf = p.yoethf
+    t = np.linspace(230.0, 290.0, 31)
+    expect = np.minimum(
+        1.0,
+        ((np.maximum(thf.rticecu, np.minimum(thf.rtwat, t)) - thf.rticecu)
+         * thf.rtwat_rticecu_r) ** 2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(thermo.foealfcu(jnp.asarray(t), thf)), expect, rtol=1e-14
+    )
+    assert float(thermo.foealfcu(jnp.asarray(200.0), thf)) == 0.0
+    assert float(thermo.foealfcu(jnp.asarray(300.0), thf)) == 1.0
+
+
+def test_cu_functions_blend_with_foealfcu(params):
+    p = _cu_params(params)
+    cst, thf = p.yomcst, p.yoethf
+    t = jnp.linspace(235.0, 285.0, 21)
+    alfa = thermo.foealfcu(t, thf)
+    np.testing.assert_allclose(
+        np.asarray(thermo.foeewmcu(t, cst, thf)),
+        np.asarray(alfa * thermo.foeeliq(t, cst, thf)
+                   + (1 - alfa) * thermo.foeeice(t, cst, thf)),
+        rtol=1e-14,
+    )
+    np.testing.assert_allclose(
+        np.asarray(thermo.foelhmcu(t, cst, thf)),
+        np.asarray(alfa * cst.rlvtt + (1 - alfa) * cst.rlstt),
+        rtol=1e-14,
+    )
+    np.testing.assert_allclose(
+        np.asarray(thermo.foeldcpmcu(t, thf)),
+        np.asarray(thermo.foelhmcu(t, cst, thf)) / cst.rcpd,
+        rtol=1e-12,
+    )
+    # pure-phase FOEDEMCU == d/dT ln(e_sat) * L/cp
+    warm = jnp.asarray(thf.rtwat + 3.0)
+    dlog_w = jax.grad(lambda x: jnp.log(thermo.foeeliq(x, cst, thf)))(warm)
+    assert float(thermo.foedemcu(warm, thf)) == pytest.approx(
+        float(dlog_w) * thf.ralvdcp, rel=1e-12
+    )
+    # with RTICECU shifted, CU functions must differ from the stratiform
+    # ones inside the widened mixed band
+    tm = jnp.asarray(thf.rtice - 5.0)
+    assert float(thermo.foeewmcu(tm, cst, thf)) != pytest.approx(
+        float(thermo.foeewm(tm, cst, thf)), rel=1e-10
+    )
+
+
+def test_fokoop_matches_fortran_formula(params):
+    # fccld.func.h:17: FOKOOP = MIN(RKOOP1-RKOOP2*T, FOEELIQ/FOEEICE),
+    # recomputed in numpy from the constants
+    cst, thf = params.yomcst, params.yoethf
+    t = np.asarray([200.0, 230.0, 255.0, 273.16, 290.0])
+    eliq = thf.r2es * np.exp(thf.r3les * (t - cst.rtt) / (t - thf.r4les))
+    eice = thf.r2es * np.exp(thf.r3ies * (t - cst.rtt) / (t - thf.r4ies))
+    expect = np.minimum(thf.rkoop1 - thf.rkoop2 * t, eliq / eice)
+    np.testing.assert_allclose(
+        np.asarray(thermo.fokoop(jnp.asarray(t), cst, thf)), expect, rtol=1e-13
+    )
+    # at/above RTT supersaturation ratio is 1 and the linear term >1
+    assert float(thermo.fokoop(jnp.asarray(cst.rtt), cst, thf)) == pytest.approx(1.0)
+
+
+def test_satur_kflag1_foeewmcu_branch(params):
+    """SATUR KFLAG=1 uses FOEEWMCU (satur.F90:126-133); checked against a
+    fresh numpy transcription of that branch, with RTICECU shifted so the
+    convective branch is distinguishable from KFLAG=2."""
+    p = _cu_params(params)
+    cst, thf = p.yomcst, p.yoethf
+    pap = np.full((3, 5), 7.0e4)
+    t = np.linspace(235.0, 290.0, 15).reshape(3, 5)
+
+    alfa = np.minimum(
+        1.0,
+        ((np.maximum(thf.rticecu, np.minimum(thf.rtwat, t)) - thf.rticecu)
+         * thf.rtwat_rticecu_r) ** 2,
+    )
+    ew = thf.r2es * (
+        alfa * np.exp(thf.r3les * (t - cst.rtt) / (t - thf.r4les))
+        + (1 - alfa) * np.exp(thf.r3ies * (t - cst.rtt) / (t - thf.r4ies))
+    )
+    zqs = np.minimum(0.5, ew / pap)
+    expect = zqs / (1.0 - cst.retv * zqs)
+
+    got = satur(jnp.asarray(pap), jnp.asarray(t), p, lphylin=False, kflag=1)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-13)
+    # and it must differ from the KFLAG=2 (FOEEWM) branch in the widened
+    # mixed-phase band
+    got2 = satur(jnp.asarray(pap), jnp.asarray(t), p, lphylin=False, kflag=2)
+    assert np.abs(np.asarray(got) - np.asarray(got2)).max() > 1e-8
