@@ -170,6 +170,7 @@ def run_tlad(
     backend: str = "xla",
     sublanes: int = 64,
     mesh=None,
+    interpret: bool = False,
 ):
     """One fused NL+TL+AD sweep (the production 4D-Var work unit).
 
@@ -188,11 +189,11 @@ def run_tlad(
     path; ``remat``/``nproma`` apply to it only.
     """
     key = (id(params), lregcl, ldrain1d, remat, nproma, backend, sublanes,
-           id(mesh))
+           id(mesh), interpret)
     hit = _TLAD_CACHE.get(key)
     if hit is None or hit[0] is not params:
         step = _tlad_step(params, lregcl, ldrain1d, remat, nproma,
-                          backend, sublanes)
+                          backend, sublanes, interpret)
         if mesh is not None and backend.startswith("pallas"):
             from . import dist
 
@@ -213,7 +214,8 @@ def run_tlad(
 _TLAD_CACHE = _LRUCache()
 
 
-def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes):
+def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes,
+               interpret=False):
     from functools import partial as _partial
 
     if backend in ("pallas", "pallas_blocked"):
@@ -235,22 +237,22 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes):
                 out, dout, ckpts = cloudsc2_pallas_tl(
                     i, None, params, lregcl=lregcl, ldrain1d=ldrain1d,
                     sublanes=sublanes, blocked=True, save_checkpoints=True,
-                    dscale=0.01,
+                    dscale=0.01, interpret=interpret,
                 )
                 _, adj = cloudsc2_pallas_ad(
                     i, dout, params, lregcl=lregcl,
                     ldrain1d=ldrain1d, sublanes=sublanes, blocked=True,
-                    checkpoints=ckpts, fold_seeds=True,
+                    checkpoints=ckpts, fold_seeds=True, interpret=interpret,
                 )
                 return out, dout, adj
             di = jax.tree.map(lambda x: 0.01 * x, i)
             out, dout = cloudsc2_pallas_tl(
                 i, di, params, lregcl=lregcl, ldrain1d=ldrain1d,
-                sublanes=sublanes,
+                sublanes=sublanes, interpret=interpret,
             )
             _, adj = cloudsc2_pallas_ad(
                 i, dout, params, lregcl=lregcl, ldrain1d=ldrain1d,
-                sublanes=sublanes,
+                sublanes=sublanes, interpret=interpret,
             )
             return out, dout, adj
 
@@ -485,8 +487,6 @@ def run_chunked(
     bc = sublanes * 128
     chunk = (chunk // bc) * bc or bc
     nb = chunk // bc
-    if interpret and variant != "nl":
-        raise ValueError("interpret mode supports variant='nl' only")
     key = (id(state), variant, sublanes, nb, np.dtype(dtype).str, lregcl,
            interpret)
     hit = _CHUNK_CACHE.get(key)
@@ -518,7 +518,7 @@ def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False):
     ))
     if variant != "nl":
         tlad_step = _tlad_step(params, lregcl, False, True, None,
-                               "pallas_blocked", sublanes)
+                               "pallas_blocked", sublanes, interpret)
 
     @jax.jit
     def step(b, off, s):

@@ -55,3 +55,23 @@ def test_cli_write_reference(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert (REPO / "reference.h5").exists()
     (REPO / "reference.h5").unlink()
+
+
+@pytest.mark.slow
+def test_cli_tl_pallas_runs_fused_check():
+    """tl --pallas must RUN the fused-kernel f32 parity check (not ignore
+    the flag, VERDICT r1 item 4); interpret mode on CPU."""
+    r = _run(["tl", "1", "100", "1", "--pallas"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TEST PASSED" in r.stderr
+    assert "TL(pallas) vs jvp parity" in r.stderr
+    assert "-> OK" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_ad_pallas_runs_fused_identity():
+    r = _run(["ad", "1", "100", "100", "--pallas"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TEST OK" in r.stderr
+    assert "AD(pallas) identity" in r.stderr
+    assert "-> OK" in r.stderr

@@ -138,21 +138,43 @@ def test_shard_map_pallas_nl_matches_single_device(mesh):
         assert np.abs(a - b).max() / scale < 5e-6, name
 
 
-def test_run_tlad_pallas_mesh(mesh):
-    """run_tlad(backend='pallas', mesh=...) compiles and runs the fused
-    TL+AD kernel pair SPMD over the mesh (interpret mode on CPU is not
-    wired through run_tlad, so this only exercises spec derivation at
-    trace level via eval_shape)."""
+def test_run_tlad_xla_mesh(mesh):
+    """run_tlad's XLA backend under the mesh: auto-partitioned from the
+    input shardings, must run anywhere."""
     from cloudsc2jax.drivers import run_tlad
     from cloudsc2jax.state import Cloudsc2State
 
     st = Cloudsc2State.synthetic(ngptot=64, nlev=9)
     inputs = st.kernel_inputs(dtype=np.float32)
     sharded = dist.shard_inputs(inputs, mesh)
-    # XLA backend under the mesh: auto-partitioned, must run anywhere
     out, dout, adj = run_tlad(sharded, st.params, lregcl=True, remat=False)
     assert np.isfinite(np.asarray(out.tenl_t)).all()
     assert np.isfinite(np.asarray(adj.pt)).all()
+
+
+def test_run_tlad_pallas_mesh(mesh):
+    """run_tlad(backend='pallas', mesh=...) actually RUNS the fused TL+AD
+    kernel pair SPMD over the 8-device mesh (interpret mode on CPU, wired
+    through run_tlad) and matches the single-device pallas run."""
+    from cloudsc2jax.drivers import run_tlad
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=64, nlev=9)
+    inputs = st.kernel_inputs(dtype=np.float32)
+    sharded = dist.shard_inputs(inputs, mesh)
+    out, dout, adj = run_tlad(
+        sharded, st.params, lregcl=True, backend="pallas", sublanes=1,
+        mesh=mesh, interpret=True,
+    )
+    ref_out, ref_dout, ref_adj = run_tlad(
+        inputs, st.params, lregcl=True, backend="pallas", sublanes=1,
+        interpret=True,
+    )
+    for group, rgroup in ((out, ref_out), (dout, ref_dout), (adj, ref_adj)):
+        for name, a, b in zip(group._fields, group, rgroup):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-30)
+            assert np.abs(a - b).max() / scale < 5e-6, name
 
 
 def test_shard_map_blocked_pallas(mesh):
