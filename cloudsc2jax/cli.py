@@ -75,6 +75,29 @@ def main(argv=None):
     if args.dtype == "f64":
         jax.config.update("jax_enable_x64", True)
 
+    # multi-process launch (≙ CLOUDSC_MPI_INIT, cloudsc_mpi_mod.F90:58-88):
+    # the launcher exports CLOUDSC2_NUM_PROCESSES / CLOUDSC2_PROCESS_ID /
+    # CLOUDSC2_COORDINATOR (the mpirun-environment analogue); must run
+    # before any backend query.  CLOUDSC2_NUM_CPU_DEVICES sets the
+    # per-process virtual CPU device count for off-TPU multi-process runs.
+    ncpu = os.environ.get("CLOUDSC2_NUM_CPU_DEVICES")
+    if ncpu:
+        try:
+            jax.config.update("jax_num_cpu_devices", int(ncpu))
+        except AttributeError:
+            pass
+    nproc_env = int(os.environ.get("CLOUDSC2_NUM_PROCESSES", "1"))
+    if nproc_env > 1:
+        from . import dist as _dist
+
+        _dist.initialize(
+            coordinator=os.environ.get(
+                "CLOUDSC2_COORDINATOR", "localhost:12321"
+            ),
+            num_processes=nproc_env,
+            process_id=int(os.environ["CLOUDSC2_PROCESS_ID"]),
+        )
+
     # persistent compilation cache: first compile of the f64 scan is slow
     # (minutes on CPU); subsequent CLI invocations are instant
     cache_dir = os.environ.get(
@@ -142,11 +165,12 @@ def main(argv=None):
         inputs = state.device_kernel_inputs(ngptot, dtype=dtype)
         inputs = dist.shard_inputs(inputs, mesh)
 
-    print(
-        f"     NUMPROC={jax.process_count()}, NUMDEV={len(devices)},"
-        f" NGPTOTG={ngptot}, NPROMA={args.nproma}, NGPBLKS={ngpblks}",
-        file=sys.stderr,
-    )
+    if jax.process_index() == 0:
+        print(
+            f"     NUMPROC={jax.process_count()}, NUMDEV={len(devices)},"
+            f" NGPTOTG={ngptot}, NPROMA={args.nproma}, NGPBLKS={ngpblks}",
+            file=sys.stderr,
+        )
 
     timer = PerformanceTimer()
     timer.start(len(devices))
@@ -253,12 +277,17 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         for _ in range(args.repeat - 1):
             out = fn(inputs)
             jax.block_until_ready(out)
+        nproc = jax.process_count()
         ndev = mesh.devices.size if mesh is not None else 1
-        timer.spmd_log(ndev, ngptot * args.repeat)
+        # device lanes this process accounts for (local share of the mesh)
+        nlanes = max(ndev // nproc, 1)
+        timer.spmd_log(nlanes, (ngptot // nproc) * args.repeat)
         timer.thread_end(0)
-        timer.mirror_times(ndev)
+        timer.mirror_times(nlanes)
         timer.end()
-        timer.print_performance(args.nproma, ngpblks, ngptot)
+        # multi-process: per-rank records gather to process 0
+        # (≙ timer_mod.F90:155's MPI_GATHER)
+        timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
         ok = True
         need_std = (
             (not args.no_validate and pathlib.Path(reference_path).exists())
@@ -281,17 +310,31 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
             )
         if not args.no_validate and pathlib.Path(reference_path).exists():
             thr = args.threshold if args.threshold is not None else 10.0
+            # every process joins the collective reductions; only rank 0
+            # prints the table (≙ the IRANK==0 guard around ERROR_PRINT)
             ok = state.validate_device(
-                val_out, val_in, reference_path, threshold=thr
+                val_out, val_in, reference_path, threshold=thr,
+                quiet=jax.process_index() != 0,
             )
         if os.environ.get("CLOUDSC2_WRITE_REFERENCE") == "1":
-            # the stored-column block suffices (cyclic expansion); fetch
-            # only those columns to host
-            head = jax.tree.map(
-                lambda x: np.asarray(x[: state.klon_file]), val_out
-            )
-            state.write_reference(head, "reference.h5")
-            print("Written reference results to reference.h5", file=sys.stderr)
+            if jax.process_count() > 1:
+                # golden writing is a single-process 100-column operation
+                # upstream too (WRITE_REFERENCE requires NPROMA==KLON,
+                # cloudsc2_array_state_mod.F90:264-268)
+                print(
+                    "CLOUDSC2_WRITE_REFERENCE ignored in multi-process "
+                    "runs; rerun single-process",
+                    file=sys.stderr,
+                )
+            else:
+                # the stored-column block suffices (cyclic expansion);
+                # fetch only those columns to host
+                head = jax.tree.map(
+                    lambda x: np.asarray(x[: state.klon_file]), val_out
+                )
+                state.write_reference(head, "reference.h5")
+                print("Written reference results to reference.h5",
+                      file=sys.stderr)
         return 0 if ok else 1
 
     if args.variant == "tl":

@@ -280,7 +280,30 @@ class Cloudsc2State:
 
         ncol = int(np.shape(out.pclc)[0])
         ref_small = cio.load_reference_h5(reference_path)
-        ref = _tile_columns(jax.device_put(ref_small), ncol)
+        # multi-process: outputs are global sharded arrays whose shards
+        # live on other hosts too — assemble the golden reference as a
+        # matching global array, each process materialising only its own
+        # shards' cyclic tile (≙ per-rank hyperslab reads,
+        # expand_mod.F90:30-46)
+        multiproc = (
+            isinstance(out.pclc, jax.Array)
+            and not out.pclc.is_fully_addressable
+        )
+        if multiproc:
+            def _global_ref(like, ref_np):
+                ref_np = np.asarray(ref_np)
+
+                def cb(idx):
+                    rows = np.arange(*idx[0].indices(like.shape[0]))
+                    return ref_np[rows % ref_np.shape[0]][
+                        (slice(None),) + tuple(idx[1:])
+                    ].astype(like.dtype)
+
+                return jax.make_array_from_callback(
+                    like.shape, like.sharding, cb
+                )
+        else:
+            ref = _tile_columns(jax.device_put(ref_small), ncol)
 
         zeros2d = jnp.zeros_like(out.tenl_t)
         species = [zeros2d] * NCLV
@@ -299,7 +322,12 @@ class Cloudsc2State:
             "TENDENCY_LOC_CLD": jnp.stack(species, axis=1),
         }
         errors = {
-            k: cval.field_errors_jax(k, v, ref[k].astype(v.dtype), ngptot=ncol)
+            k: cval.field_errors_jax(
+                k, v,
+                _global_ref(v, ref_small[k]) if multiproc
+                else ref[k].astype(v.dtype),
+                ngptot=ncol,
+            )
             for k, v in res.items()
         }
         if quiet:

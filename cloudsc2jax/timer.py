@@ -77,6 +77,10 @@ class _Lane:
     t_total: float = 0.0
     calls: int = 0
     columns: int = 0
+    # True when the wall time was copied from lane 0 rather than
+    # measured on this lane (single-controller SPMD approximation) —
+    # such rows are labelled in the printed table
+    mirrored: bool = False
 
 
 class PerformanceTimer:
@@ -130,10 +134,19 @@ class PerformanceTimer:
             lane.columns += per + (rem if d == 0 else 0)
 
     def mirror_times(self, num_lanes: int):
-        """Copy lane 0's closed wall time to the other device lanes."""
+        """Copy lane 0's closed wall time to the other device lanes.
+
+        Under single-controller jit all devices execute the one program
+        in lockstep, so lane 0's host-side wall clock is the best
+        available per-device estimate — but it is NOT a per-device
+        measurement (the reference's rows are genuine per-thread clocks,
+        timer_mod.F90:56-112), so the copied rows are flagged and
+        printed with a ``mirror`` label."""
         t = self._lanes[0].t_total
         for d in range(1, num_lanes):
-            self._lanes.setdefault(d, _Lane(lane_id=d, core_id=d)).t_total = t
+            lane = self._lanes.setdefault(d, _Lane(lane_id=d, core_id=d))
+            lane.t_total = t
+            lane.mirrored = True
 
     def end(self):
         self._t1 = time.perf_counter()
@@ -147,9 +160,19 @@ class PerformanceTimer:
 
     # -- reporting (timer_mod.F90:114-174)
     def print_performance(
-        self, nproma: int, ngpblks: int, ngptot: int, zhpm: float = ZHPM, file=None
+        self, nproma: int, ngpblks: int, ngptot: int, zhpm: float = ZHPM,
+        file=None, gather: bool = False,
     ):
+        """Print the perf table; ``gather=True`` in a multi-process run
+        gathers every process's records to process 0 and prints per-rank
+        rows + per-rank totals + a grand total, replacing the reference's
+        MPI_GATHER of 5-int records (timer_mod.F90:124-171)."""
         file = file or sys.stderr
+        if gather:
+            import jax
+
+            if jax.process_count() > 1:
+                return self._print_gathered(nproma, ngpblks, ngptot, zhpm, file)
         print(
             f"{'NUMOMP(dev)':>12} {'NGPTOT':>10} {'#GP-cols':>10} {'#BLKS':>8}"
             f" {'NPROMA':>8} {'time(msec)':>12} {'MFlops/s':>12} {'col/s':>14}",
@@ -162,9 +185,11 @@ class PerformanceTimer:
             # per-lane block count, like the reference's per-thread rows
             # (timer_mod.F90:124-148)
             blks = -(-lane.columns // max(nproma, 1))
+            tag = "  (mirror)" if lane.mirrored else ""
             print(
                 f"{lane.lane_id:>12} {ngptot:>10} {lane.columns:>10} {blks:>8}"
-                f" {nproma:>8} {1e3*t:>12.1f} {mflops:>12.0f} {lane.columns/t:>14.0f}",
+                f" {nproma:>8} {1e3*t:>12.1f} {mflops:>12.0f}"
+                f" {lane.columns/t:>14.0f}{tag}",
                 file=file,
             )
         t = max(self.elapsed, 1e-12)
@@ -180,3 +205,86 @@ class PerformanceTimer:
             de = e1["energy_j"] - self._energy0["energy_j"]
             print(f"EC_PMON: energy={de:.1f} J over {t:.3f}s", file=file)
         return cols / t
+
+    def _gather_records(self, zhpm: float):
+        """All-gather each process's per-lane records + rank summary
+        (≙ the ISENDBUF/IRECVBUF exchange, timer_mod.F90:128-155).
+
+        Every process must call this (it is a collective).  Records are
+        float64 rows [lane_id, core_id, columns, calls, t_ms, mflops,
+        mirrored]; the summary row is [-1, rank, columns, elapsed_ms,
+        mflops, 0, 0].  Lane counts are padded to the max across
+        processes so the allgather shapes agree."""
+        import jax
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        lanes = sorted(self._lanes.values(), key=lambda l: l.lane_id)
+        nlmax = int(
+            multihost_utils.process_allgather(np.array(len(lanes))).max()
+        )
+        buf = np.zeros((nlmax + 1, 7))
+        for i, lane in enumerate(lanes):
+            t = max(lane.t_total, 1e-12)
+            buf[i] = [
+                lane.lane_id, lane.core_id, lane.columns, lane.calls,
+                1e3 * t, 1.0e-6 * zhpm * (lane.columns / 100.0) / t,
+                float(lane.mirrored),
+            ]
+        elapsed = max(self.elapsed, 1e-12)
+        cols = sum(l.columns for l in lanes)
+        buf[nlmax] = [
+            -1, jax.process_index(), cols, len(lanes), 1e3 * elapsed,
+            1.0e-6 * zhpm * (cols / 100.0) / elapsed, 0.0,
+        ]
+        return multihost_utils.process_allgather(buf)  # (nproc, nlmax+1, 7)
+
+    def _print_gathered(self, nproma, ngpblks, ngptot, zhpm, file):
+        """Rank-0 printing of the gathered records: per-rank lane rows,
+        per-rank TOTAL rows, grand total (timer_mod.F90:157-171)."""
+        import jax
+
+        rec = self._gather_records(zhpm)
+        if jax.process_index() != 0:
+            # collective done; only rank 0 prints (≙ IRANK==0 guard)
+            summ = rec[jax.process_index(), -1]
+            return summ[2] / (summ[4] * 1e-3)
+        nproc = rec.shape[0]
+        print(
+            f"{'rank:lane':>12} {'NGPTOT':>10} {'#GP-cols':>10} {'#calls':>8}"
+            f" {'NPROMA':>8} {'time(msec)':>12} {'MFlops/s':>12} {'col/s':>14}",
+            file=file,
+        )
+        tot_cols = 0
+        tot_mflops = 0.0
+        tmax = 0.0
+        for r in range(nproc):
+            for row in rec[r, :-1]:
+                if row[3] == 0 and row[2] == 0:
+                    continue  # padding lane
+                t = max(row[4] * 1e-3, 1e-12)
+                tag = "  (mirror)" if row[6] else ""
+                print(
+                    f"{f'{r}:{int(row[0])}':>12} {ngptot:>10} {int(row[2]):>10}"
+                    f" {int(row[3]):>8} {nproma:>8} {row[4]:>12.1f}"
+                    f" {row[5]:>12.0f} {row[2]/t:>14.0f}{tag}",
+                    file=file,
+                )
+            summ = rec[r, -1]
+            t = max(summ[4] * 1e-3, 1e-12)
+            print(
+                f"{f'rank{r}':>12} {ngptot:>10} {int(summ[2]):>10}"
+                f" {int(summ[3]):>8} {nproma:>8} {summ[4]:>12.1f}"
+                f" {summ[5]:>12.0f} {summ[2]/t:>14.0f}  TOTAL @ rank#{r}",
+                file=file,
+            )
+            tot_cols += int(summ[2])
+            tot_mflops += summ[5]
+            tmax = max(tmax, t)
+        print(
+            f"{f'{nproc}proc':>12} {ngptot:>10} {tot_cols:>10} {ngpblks:>8}"
+            f" {nproma:>8} {1e3*tmax:>12.1f} {tot_mflops:>12.0f}"
+            f" {tot_cols/tmax:>14.0f}  TOTAL",
+            file=file,
+        )
+        return tot_cols / tmax
