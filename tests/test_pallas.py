@@ -117,3 +117,38 @@ def test_pallas_rejects_lphylin_false(state):
         cloudsc2_pallas(inputs, params, interpret=True)
     with _pytest.raises(NotImplementedError):
         cloudsc2_pallas_tl(inputs, inputs, params, interpret=True)
+
+
+def test_encoded_inputs_match_exact_kernel():
+    """int16 per-(field, level) affine storage encoding (DESIGN.md §8
+    study; measured perf-negative on v5e, kept for byte-bound hardware):
+    decode-in-kernel must reproduce the exact blocked kernel within the
+    study's error bound, well inside the on-chip validation budget."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from cloudsc2jax.pallas.cloudsc2_kernel import (
+        cloudsc2_pallas,
+        cloudsc2_pallas_encoded,
+        encode_blocked_inputs,
+    )
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=17)
+    blk = st.device_kernel_inputs(1024, dtype=np.float32, blocked_sublanes=2)
+    exact = cloudsc2_pallas(blk, st.params, blocked=True, fuse_satur=True,
+                            interpret=True)
+    for keep in (("pq",), ("pq", "plu", "paph")):
+        enc = encode_blocked_inputs(blk, st.params, keep_f32=keep)
+        kept_f32 = sum(s.dtype == jnp.float32 for s in enc.streams)
+        assert kept_f32 == len(keep)
+        out = jax.jit(
+            partial(cloudsc2_pallas_encoded, params=st.params, interpret=True)
+        )(enc)
+        for name, a, b in zip(out._fields, out, exact):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            denom = max(np.abs(b).sum(), 1e-30)
+            assert np.abs(a - b).sum() / denom < 5e-4, (keep, name)
