@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: NL grid-columns/second on one chip.
 
-Reference configuration: NGPTOT=163840 (the README's 160k benchmark
-rounded to a lane multiple), KLEV=137, f32 working precision (the
+Configuration: NGPTOT=327680 (2x the README's 160k reference config,
+rounded to a lane multiple — larger batches amortise the platform's
+fixed per-dispatch cost, ROOFLINE.md; override with
+CLOUDSC2_BENCH_NGPTOT), KLEV=137, f32 working precision (the
 reference's -DSINGLE analogue; f64 is the validation path).  Prints ONE
-JSON line.  ``vs_baseline`` compares against the reference's own
+JSON line including the batch size.  ``vs_baseline`` compares against the reference's own
 per-core nominal rate derived from its ZHPM flop accounting: the dwarf
 self-reports MFlop/s against ZHPM = 3 996 006 flops/100 columns
 (cloudsc_driver_mod.F90:58); a strong CPU core sustains ~O(3) GFlop/s on
@@ -44,9 +46,13 @@ def main():
     from cloudsc2jax.state import Cloudsc2State
 
     platform0 = jax.devices()[0].platform
-    # headline config on accelerators; a CPU fallback at 160k would take
-    # many minutes on a 1-core host — shrink unless explicitly requested
-    default_ngptot = 163840 if platform0 == "tpu" else 8192
+    # headline config on accelerators: 2x the README's 160k reference
+    # config (rounded to a lane multiple) — the platform carries a fixed
+    # ~0.7 ms per-dispatch cost (ROOFLINE.md), so production batches as
+    # large as HBM allows; the per-column metric is batch-honest and the
+    # batch size is reported in the JSON.  A CPU fallback at this size
+    # would take many minutes on a 1-core host — shrink there.
+    default_ngptot = 327680 if platform0 == "tpu" else 8192
     ngptot = int(os.environ.get("CLOUDSC2_BENCH_NGPTOT", default_ngptot))
     repeats = int(os.environ.get("CLOUDSC2_BENCH_REPEATS", 20))
     use_pallas = os.environ.get("CLOUDSC2_BENCH_PALLAS", "1") == "1"
@@ -176,6 +182,7 @@ def main():
         "value": round(cols_per_s, 1),
         "unit": "columns/s/chip",
         "vs_baseline": round(cols_per_s / baseline_cols_per_s, 3),
+        "ngptot": ngptot,
     }
     # measured-baseline provenance (tools/measure_baseline.py): the
     # denominator above is the 4-strong-thread ESTIMATE; these are real

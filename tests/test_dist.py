@@ -259,3 +259,18 @@ def test_run_chunked_matches_single_shot(state):
                          interpret=True)
     assert n1 == n2 == 512
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_run_chunked_tlad_matches_single_shot():
+    """The fused TL+AD work unit streamed over device-generated chunks
+    (interpret mode now wired through run_tlad's pallas backends)."""
+    from cloudsc2jax.drivers import run_chunked
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=9)
+    n1, s1 = run_chunked(st, 512, variant="tlad", chunk=256, sublanes=1,
+                         interpret=True)
+    n2, s2 = run_chunked(st, 512, variant="tlad", chunk=512, sublanes=1,
+                         interpret=True)
+    assert n1 == n2 == 512
+    np.testing.assert_allclose(s1, s2, rtol=1e-4)
