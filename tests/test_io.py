@@ -193,3 +193,55 @@ def test_device_kernel_inputs_match_host_expansion(state):
     dev = small.device_kernel_inputs(259, dtype=np.float32)
     for name, a, b in zip(host._fields, host, dev):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_reference_own_loader_reads_our_input_h5():
+    """Interchangeability, proven with the reference's OWN code: execute
+    the reference repo's input loader (cloudsc2_inputs.py, run in place —
+    never copied) against our committed input.h5 and check fields,
+    constants and the CETA derivation come back intact."""
+    import importlib.util
+    import pathlib
+
+    ref_loader = pathlib.Path(
+        "/root/reference/src/cloudsc2_nl_gt4py/cloudsc2_inputs.py"
+    )
+    if not ref_loader.exists():
+        pytest.skip("reference sources not available")
+    spec = importlib.util.spec_from_file_location("ref_inputs", ref_loader)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    path = FIXTURES / "input.h5"
+    fields = mod.load_input_fields(path)
+    assert fields["KLON"] == 100 and fields["KLEV"] == 137
+    assert fields["PT"].shape == (137, 100)
+    assert fields["PAPH"].shape == (138, 100)
+    assert fields["PCLV"].shape == (5, 137, 100)
+
+    yrecldp, yrmcst, yrethf, yrephli, yrecld = mod.load_input_parameters(path)
+    ours, _ = cio.load_input_h5(path)
+    import dataclasses
+
+    from cloudsc2jax.constants import Yrecldp, Yrephli
+
+    _, params = cio.load_input_h5(path)
+    # every scalar the reference loader picked up matches our dataclass
+    for fld in dataclasses.fields(Yrecldp):
+        if fld.name in ("rbeta", "rbetap1"):
+            continue
+        got = getattr(yrecldp, fld.name)
+        assert float(got) == pytest.approx(
+            float(getattr(params.yrecldp, fld.name)), rel=1e-15
+        ), fld.name
+    for fld in dataclasses.fields(Yrephli):
+        got = float(getattr(yrephli, fld.name))
+        want = float(getattr(params.yrephli, fld.name))
+        if fld.name == "lphylin":
+            continue  # both force True post-load
+        assert got == pytest.approx(want, rel=1e-15), fld.name
+    np.testing.assert_allclose(
+        yrecld.ceta, np.asarray(params.ceta), rtol=1e-15
+    )
+    assert yrmcst.rg == pytest.approx(params.yomcst.rg)
+    assert yrethf.r5alvcp == pytest.approx(params.yoethf.r5alvcp)
