@@ -215,15 +215,20 @@ def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl):
 
     ok = True
     if variant == "tl":
-        di = jax.tree.map(lambda x: 0.01 * x, i32)
-        _, dref = jax.jit(
-            lambda i, d: cloudsc2_tl(i, d, state.params, lregcl=lregcl)
-        )(i32, di)
-        rel = max(
-            float(jnp.max(jnp.abs(a - b)))
-            / max(float(jnp.max(jnp.abs(b))), 1e-30)
-            for a, b in zip(jax.tree.leaves(dout), jax.tree.leaves(dref))
-        )
+        @jax.jit
+        def parity(i, dp):
+            di = jax.tree.map(lambda x: 0.01 * x, i)
+            _, dref = cloudsc2_tl(i, di, state.params, lregcl=lregcl)
+            rels = [
+                jnp.max(jnp.abs(a - b))
+                / jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
+                for a, b in zip(jax.tree.leaves(dp), jax.tree.leaves(dref))
+            ]
+            # one reduction, one scalar fetch (per-leaf float() syncs
+            # would pay ~25 ms tunnel latency each)
+            return jnp.max(jnp.stack(rels))
+
+        rel = float(parity(i32, dout))
         tol = 1e-4  # f32 reassociation across the two schedules
         ok = bool(np.isfinite(rel)) and rel < tol
         print(
@@ -337,15 +342,20 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
                       file=sys.stderr)
         return 0 if ok else 1
 
+    nproc = jax.process_count()
+    rank0 = jax.process_index() == 0
+
     if args.variant == "tl":
         timer.thread_start(0)
         res = taylor_test(inputs, state.params, nproma=args.nproma, lregcl=False)
-        timer.thread_log(0, ngptot)
+        # every process joined the jitted collectives; account local share
+        timer.thread_log(0, ngptot // nproc)
         timer.thread_end(0)
         timer.end()
-        timer.print_performance(args.nproma, ngpblks, ngptot)
-        res.report()
-        if not res.passed and args.dtype != "f64":
+        timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
+        if rank0:
+            res.report()
+        if not res.passed and args.dtype != "f64" and rank0:
             print(
                 " NOTE: the Taylor test is an f64 diagnostic; in f32 the "
                 "lambda sweep floors above the\n reference's 1e-5 hard limit "
@@ -366,11 +376,12 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         # criterion is 1e4 x eps upstream, cloudsc_driver_ad_mod.F90:289)
         thr = args.threshold if args.threshold is not None else 1.0e4
         res = adjoint_test(inputs, state.params, lregcl=True, threshold=thr)
-        timer.thread_log(0, ngptot)
+        timer.thread_log(0, ngptot // nproc)
         timer.thread_end(0)
         timer.end()
-        timer.print_performance(args.nproma, ngpblks, ngptot)
-        res.report()
+        timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
+        if rank0:
+            res.report()
         ok = res.passed
         if args.pallas:
             ok = _pallas_f32_check("ad", jax, state, inputs, mesh,
@@ -398,18 +409,19 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
                            backend=backend, mesh=tlad_mesh)
             jax.block_until_ready(res)
         ndev = mesh.devices.size if mesh is not None else 1
-        timer.spmd_log(ndev, ngptot * args.repeat)
+        # device lanes this process accounts for (local share of the mesh)
+        nlanes = max(ndev // nproc, 1)
+        timer.spmd_log(nlanes, (ngptot // nproc) * args.repeat)
         timer.thread_end(0)
-        timer.mirror_times(ndev)
+        timer.mirror_times(nlanes)
         timer.end()
-        timer.print_performance(args.nproma, ngpblks, ngptot)
+        timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
         out, dout, adj = res
-        finite = all(
-            bool(np.isfinite(np.asarray(x)).all()) for x in jax.tree.leaves(res)
-        )
         # adjoint identity over the work unit, <Mdx,Mdx> vs <dx, M^T Mdx>
         # (cloudsc_driver_ad_mod.F90:184-264), with the canonical
-        # dx = 0.01 x; computed on device, only scalars fetched
+        # dx = 0.01 x; computed on device under jit (collective on sharded
+        # arrays — no leaf ever fetched, multi-process safe), only the
+        # three scalars cross the host link
         import jax.numpy as jnp
 
         @jax.jit
@@ -429,17 +441,22 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
                 jnp.sum(0.01 * x * ax)
                 for x, ax in zip(jax.tree.leaves(i), jax.tree.leaves(a))
             )
-            return n1, n2
+            fin = jnp.all(jnp.stack([
+                jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves((d, a))
+            ]))
+            return n1, n2, fin
 
-        n1, n2 = _norms(inputs, dout, adj)
+        n1, n2, fin = _norms(inputs, dout, adj)
+        finite = bool(fin)
         rel = abs(float(n1) - float(n2)) / max(abs(float(n2)), 1e-300)
         tol = 1e-10 if args.dtype == "f64" else 1e-2  # f32 dot-product rounding
         ok = finite and rel < tol
-        print(
-            f"tlad outputs finite: {finite};"
-            f" adjoint identity rel err: {rel:.3e} (tol {tol:g})",
-            file=sys.stderr,
-        )
+        if rank0:
+            print(
+                f"tlad outputs finite: {finite};"
+                f" adjoint identity rel err: {rel:.3e} (tol {tol:g})",
+                file=sys.stderr,
+            )
         return 0 if ok else 1
 
 

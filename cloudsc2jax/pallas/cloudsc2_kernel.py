@@ -541,7 +541,7 @@ def encode_blocked_inputs(
     inputs: Cloudsc2Inputs,
     params: Params,
     *,
-    keep_f32=("pq",),
+    keep_f32=("pq", "plu", "paph"),
     fuse_satur: bool = True,
     payload_dtype=jnp.int16,
 ) -> EncodedInputs:
@@ -552,8 +552,10 @@ def encode_blocked_inputs(
     the halfrange/32767 over all columns — i.e. temperature is stored as
     a 16-bit anomaly from a level-dependent reference profile, humidity
     as a level-scaled anomaly, etc.  Streams named in ``keep_f32`` stay
-    float32 (the study's sensitivity sweep: pq dominates the quantisation
-    error at ~8e-5; everything else contributes <=2e-5).  Raw bf16/f16
+    float32; the default keeps pq (dominates the quantisation error at
+    ~8e-5 in the sensitivity sweep; everything else contributes <=2e-5)
+    plus plu and paph, whose f32 passthrough selects the measured-fastest
+    single-decode-window kernel configuration (DESIGN.md §8).  Raw bf16/f16
     storage is NOT offered: measured NaN/overflow (f16 cannot even hold
     pressure) — see tools/encoding_study.py.
 

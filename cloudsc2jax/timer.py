@@ -212,9 +212,10 @@ class PerformanceTimer:
 
         Every process must call this (it is a collective).  Records are
         float64 rows [lane_id, core_id, columns, calls, t_ms, mflops,
-        mirrored]; the summary row is [-1, rank, columns, elapsed_ms,
-        mflops, 0, 0].  Lane counts are padded to the max across
-        processes so the allgather shapes agree."""
+        mirrored]; the trailing summary row is
+        [-1, rank, total_columns, total_calls, elapsed_ms, mflops, 0].
+        Lane counts are padded to the max across processes so the
+        allgather shapes agree."""
         import jax
         import numpy as np
         from jax.experimental import multihost_utils
@@ -234,8 +235,8 @@ class PerformanceTimer:
         elapsed = max(self.elapsed, 1e-12)
         cols = sum(l.columns for l in lanes)
         buf[nlmax] = [
-            -1, jax.process_index(), cols, len(lanes), 1e3 * elapsed,
-            1.0e-6 * zhpm * (cols / 100.0) / elapsed, 0.0,
+            -1, jax.process_index(), cols, sum(l.calls for l in lanes),
+            1e3 * elapsed, 1.0e-6 * zhpm * (cols / 100.0) / elapsed, 0.0,
         ]
         return multihost_utils.process_allgather(buf)  # (nproc, nlmax+1, 7)
 

@@ -48,12 +48,6 @@ def main():
         jax.config.update("jax_platforms", plat)
     if args.dtype == "f64":
         jax.config.update("jax_enable_x64", True)
-    if args.variant == "tlad" and args.interpret:
-        raise SystemExit(
-            "--interpret is not plumbed through run_tlad; use "
-            "--variant nl for off-TPU interpret runs"
-        )
-
     from functools import partial
 
     from cloudsc2jax import dist
@@ -83,6 +77,7 @@ def main():
                 run_tlad, params=state.params, lregcl=True,
                 backend=args.backend,
                 mesh=mesh if args.backend == "pallas" else None,
+                interpret=args.interpret,
             )
         elif args.backend == "pallas":
             from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
@@ -100,22 +95,13 @@ def main():
 
         def scalar_step(v):
             out = fn(v)
-            if args.backend == "pallas":
-                # opaque pallas_call outputs: a tiny slice forces the
-                # kernel without adding a full-array reduction pass —
-                # but the tlad adjoint's paph/plu streams are assembled
-                # by XLA (shift-scatter) AFTER the reverse kernel, so
-                # sum those fully or XLA narrows the assembly (mirrors
-                # bench.py's methodology)
-                extra = jnp.asarray(0.0, dtype)
-                if args.variant == "tlad":
-                    adj = out[2]
-                    extra = jnp.sum(adj.paph) + jnp.sum(adj.plu)
-                return extra + sum(
-                    jnp.sum(jnp.ravel(o)[:2]) for o in jax.tree.leaves(out)
-                )
-            # XLA backends: full reductions — XLA is free to narrow/DCE
-            # work feeding a 2-element slice
+            # full reductions for EVERY backend here: this tool only ever
+            # sees standard-layout outputs — the non-blocked pallas paths
+            # return Cloudsc2Outputs assembled by XLA AFTER the opaque
+            # kernel (from_blocks relayout + flux top row), which a
+            # 2-element probe would let XLA narrow/DCE.  (bench.py keeps
+            # the tiny-slice probe only for its blocked=True raw-stream
+            # outputs, which never pass through this tool.)
             return sum(jnp.sum(o) for o in jax.tree.leaves(out))
 
         scalar_step = jax.jit(scalar_step)
