@@ -75,3 +75,15 @@ def test_cli_ad_pallas_runs_fused_identity():
     assert "TEST OK" in r.stderr
     assert "AD(pallas) identity" in r.stderr
     assert "-> OK" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_profile_writes_trace(tmp_path):
+    """--profile DIR captures a jax profiler trace (the DR_HOOK/observability
+    analogue, SURVEY §5.1)."""
+    prof = tmp_path / "trace"
+    r = _run(["nl", "1", "100", "100", "--no-validate",
+              "--profile", str(prof)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = list(prof.rglob("*"))
+    assert any(f.is_file() for f in files), "no trace artifacts written"

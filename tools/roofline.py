@@ -35,11 +35,12 @@ def main():
     ap.add_argument("--ms", type=float, required=True, help="measured kernel ms")
     ap.add_argument("--dtype-bytes", type=int, default=4)
     ap.add_argument("--hbm-gbps", type=float, default=819.0,
-                    help="v5e nominal HBM BW; the measured achievable "
-                         "streaming ceiling on this (virtualised) chip is "
-                         "~390 GB/s for both XLA fusions and the Pallas "
-                         "pipeline (DESIGN.md §3) — pass 390 to compute "
-                         "the fraction of the practical roofline")
+                    help="v5e nominal HBM BW; the practical ceiling is a "
+                         "function of per-call traffic — measure it with "
+                         "tools/bw_probe.py at the kernel's traffic size "
+                         "(t ~ 1.9ms + bytes/620 GB/s on this chip, "
+                         "ROOFLINE.md) and pass that attained_gbps here "
+                         "for the fraction of the practical roofline")
     ap.add_argument("--vpu-gops", type=float, default=3900.0,
                     help="VPU lane-ops/s upper bound (8x128 lanes x ~0.94GHz x 4 ALUs)")
     ap.add_argument("--transc-cycles", type=float, default=8.0,
