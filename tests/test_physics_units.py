@@ -407,3 +407,45 @@ def test_satur_kflag1_foeewmcu_branch(params):
     # mixed-phase band
     got2 = satur(jnp.asarray(pap), jnp.asarray(t), p, lphylin=False, kflag=2)
     assert np.abs(np.asarray(got) - np.asarray(got2)).max() > 1e-8
+
+
+# ------------------------------------------------------- physics invariants
+def test_nl_physical_invariants_across_states():
+    """Property test over random synthetic states (SURVEY §4 test-strategy
+    extension): cloud cover stays in [0,1], precipitation fluxes are
+    non-negative, enthalpy fluxes have the opposite sign, and everything
+    is finite — for both the LDRAIN1D=False (driver default) and =True
+    (clear-sky evaporation active) configurations."""
+    from cloudsc2jax.drivers import run_nl
+    from cloudsc2jax.state import Cloudsc2State
+
+    for seed in (1, 7, 42):
+        st = Cloudsc2State.synthetic(ngptot=100, nlev=25, seed=seed)
+        inputs = st.kernel_inputs()
+        for ldrain1d in (False, True):
+            out = run_nl(inputs, st.params, ldrain1d=ldrain1d)
+            for name, v in out._asdict().items():
+                assert np.isfinite(np.asarray(v)).all(), (seed, ldrain1d, name)
+            pclc = np.asarray(out.pclc)
+            assert pclc.min() >= 0.0 and pclc.max() <= 1.0
+            cov = np.asarray(out.pcovptot)
+            assert cov.min() >= 0.0 and cov.max() <= 1.0
+            rfl, sfl = np.asarray(out.pfplsl), np.asarray(out.pfplsn)
+            # non-negative up to subtraction rounding: the evaporation /
+            # freezing updates subtract from the carried flux and can
+            # leave a last-ulp negative (~1e-22), exactly as the
+            # reference's arithmetic would
+            assert rfl.min() >= -1e-18 and sfl.min() >= -1e-18
+            # enthalpy fluxes are -L * precip fluxes (cloudsc2.F90:730-735)
+            np.testing.assert_allclose(
+                np.asarray(out.pfhpsl), -st.params.yomcst.rlvtt * rfl,
+                rtol=1e-12,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.pfhpsn), -st.params.yomcst.rlstt * sfl,
+                rtol=1e-12,
+            )
+        # LDRAIN1D activates the clear-sky precip-evaporation branch:
+        # the precip-fraction diagnostic becomes non-trivial
+        out_r = run_nl(inputs, st.params, ldrain1d=True)
+        assert np.asarray(out_r.pcovptot).max() > 0.0
