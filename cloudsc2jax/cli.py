@@ -272,9 +272,16 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         blocked = getattr(args, "_blocked", False)
         backend = ("pallas_blocked" if blocked else "pallas") if args.pallas \
             else "xla"
+        # off-TPU --pallas runs the same kernel code in interpreter mode
+        # (slow but correct) instead of failing in the Mosaic compiler
+        interp = args.pallas and jax.devices()[0].platform != "tpu"
+        if interp and jax.process_index() == 0:
+            print("NOTE: --pallas off-TPU runs in Pallas interpret mode",
+                  file=sys.stderr)
         fn = partial(
             run_nl, params=state.params, backend=backend,
             mesh=mesh if (multi and args.pallas) else None,
+            interpret=interp,
         )
         timer.thread_start(0)
         out = fn(inputs)
@@ -400,13 +407,17 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         else:
             backend = "xla"
         tlad_mesh = mesh if (multi and args.pallas) else None
+        interp = args.pallas and jax.devices()[0].platform != "tpu"
+        if interp and rank0:
+            print("NOTE: --pallas off-TPU runs in Pallas interpret mode",
+                  file=sys.stderr)
         timer.thread_start(0)
         res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
-                       backend=backend, mesh=tlad_mesh)
+                       backend=backend, mesh=tlad_mesh, interpret=interp)
         jax.block_until_ready(res)
         for _ in range(args.repeat - 1):
             res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
-                           backend=backend, mesh=tlad_mesh)
+                           backend=backend, mesh=tlad_mesh, interpret=interp)
             jax.block_until_ready(res)
         ndev = mesh.devices.size if mesh is not None else 1
         # device lanes this process accounts for (local share of the mesh)

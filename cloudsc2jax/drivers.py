@@ -44,6 +44,7 @@ def run_nl(
     backend: str = "xla",
     mesh=None,
     sublanes: int = 128,
+    interpret: bool = False,
 ) -> Cloudsc2Outputs:
     """Forward (nonlinear) run, jitted (cloudsc_driver_mod.F90:73-119).
 
@@ -51,12 +52,14 @@ def run_nl(
     SPMD-wrapped over the column axis (``dist.shard_map_columns``) — one
     kernel instance per device on its local shard, zero collectives.
     The XLA backend is auto-partitioned by jit from the input shardings.
+    ``interpret=True`` runs the Pallas backends in interpreter mode
+    (off-TPU execution of the same kernel code).
     """
-    key = (id(params), ldrain1d, backend, id(mesh), sublanes)
+    key = (id(params), ldrain1d, backend, id(mesh), sublanes, interpret)
     hit = _NL_CACHE.get(key)
     if hit is None or hit[0] is not params:
         hit = (params, _nl_step(params, ldrain1d, backend, mesh, sublanes,
-                                inputs), mesh)
+                                inputs, interpret), mesh)
         _NL_CACHE[key] = hit
     return hit[1](inputs)
 
@@ -99,12 +102,14 @@ class _LRUCache:
 _NL_CACHE = _LRUCache()
 
 
-def _nl_step(params, ldrain1d, backend, mesh, sublanes, example):
+def _nl_step(params, ldrain1d, backend, mesh, sublanes, example,
+             interpret=False):
     if backend == "pallas_blocked":
         from .pallas.cloudsc2_kernel import cloudsc2_pallas
 
         fn = partial(
-            cloudsc2_pallas, params=params, ldrain1d=ldrain1d, blocked=True
+            cloudsc2_pallas, params=params, ldrain1d=ldrain1d, blocked=True,
+            interpret=interpret,
         )
         if mesh is not None:
             from . import dist
@@ -116,7 +121,7 @@ def _nl_step(params, ldrain1d, backend, mesh, sublanes, example):
 
         fn = partial(
             cloudsc2_pallas, params=params, ldrain1d=ldrain1d,
-            sublanes=sublanes,
+            sublanes=sublanes, interpret=interpret,
         )
         if mesh is not None:
             from . import dist

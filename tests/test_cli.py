@@ -87,3 +87,21 @@ def test_cli_profile_writes_trace(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     files = list(prof.rglob("*"))
     assert any(f.is_file() for f in files), "no trace artifacts written"
+
+
+@pytest.mark.slow
+def test_cli_nl_pallas_off_tpu_interprets(tmp_path):
+    """nl --pallas off-TPU must run the kernel in interpret mode (and say
+    so) instead of dying in the Mosaic compiler."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO))
+    from cloudsc2jax import io as cio
+
+    fields, params = cio.synthetic_state(nlon=40, nlev=9)
+    tiny = tmp_path / "tiny_input.h5"
+    cio.write_input_h5(tiny, fields, params)
+    r = _run(["nl", "1", "100", "100", "--pallas", "--dtype", "f32",
+              "--input", str(tiny), "--no-validate"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Pallas interpret mode" in r.stderr
