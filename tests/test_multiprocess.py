@@ -288,3 +288,107 @@ def test_cli_two_process_tlad(tmp_path):
     assert "tlad outputs finite: True" in err0
     assert "tlad outputs finite" not in err1  # rank-0-only verdict
     assert "TOTAL @ rank#1" in err0 and "TOTAL @" not in err1
+
+
+def _spawn_cli_pair(cmd_tail, extra_env=None, timeout=560):
+    port = _free_port()
+    env = _mp_env()
+    env.update(
+        CLOUDSC2_NUM_PROCESSES="2",
+        CLOUDSC2_COORDINATOR=f"localhost:{port}",
+        CLOUDSC2_NUM_CPU_DEVICES="2",
+        **(extra_env or {}),
+    )
+    cmd = [sys.executable, "-m", "cloudsc2jax", *cmd_tail]
+    envs = [dict(env, CLOUDSC2_PROCESS_ID=str(pid)) for pid in (0, 1)]
+    procs = [
+        subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=e, cwd=REPO,
+        )
+        for e in envs
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    return outs
+
+
+def _tiny_state_files(tmp_path):
+    """Tiny input + matching golden (f64 run of our own NL kernel) for
+    multi-process CLI validation tests."""
+    import jax
+
+    from cloudsc2jax import io as cio
+    from cloudsc2jax.constants import NCLDQI, NCLDQL, NCLV
+    from cloudsc2jax.drivers import run_nl
+    from cloudsc2jax.state import Cloudsc2State
+
+    fields, params = cio.synthetic_state(nlon=40, nlev=9)
+    tiny = tmp_path / "tiny_input.h5"
+    cio.write_input_h5(tiny, fields, params)
+
+    st = Cloudsc2State.load(tiny)
+    inputs = st.kernel_inputs()
+    out = run_nl(inputs, st.params)
+    zeros = np.zeros_like(np.asarray(out.tenl_t))
+    species = [zeros] * NCLV
+    species[NCLDQL] = np.asarray(out.tenl_l)
+    species[NCLDQI] = np.asarray(out.tenl_i)
+    ref = {
+        "PLUDE": np.asarray(inputs.plude),
+        "PCOVPTOT": np.asarray(out.pcovptot),
+        "PFPLSL": np.asarray(out.pfplsl),
+        "PFPLSN": np.asarray(out.pfplsn),
+        "PFHPSL": np.asarray(out.pfhpsl),
+        "PFHPSN": np.asarray(out.pfhpsn),
+        "TENDENCY_LOC_A": zeros,
+        "TENDENCY_LOC_T": np.asarray(out.tenl_t),
+        "TENDENCY_LOC_Q": np.asarray(out.tenl_q),
+        "TENDENCY_LOC_CLD": np.stack(species, axis=1),
+    }
+    refpath = tmp_path / "tiny_reference.h5"
+    cio.write_reference_h5(
+        refpath, {k: np.moveaxis(v, 0, -1) for k, v in ref.items()}
+    )
+    return tiny, refpath
+
+
+@pytest.mark.slow
+def test_cli_two_process_nl_validates(tmp_path):
+    """CLI golden validation across 2 processes: the reductions are
+    cross-process collectives and the table prints once, on rank 0."""
+    tiny, ref = _tiny_state_files(tmp_path)
+    outs = _spawn_cli_pair([
+        "nl", "4", "104", "52", "--dtype", "f32",
+        "--input", str(tiny), "--reference", str(ref),
+        "--threshold", "1e5",
+    ])
+    for pid, (rc, _, err_s) in enumerate(outs):
+        assert rc == 0, f"proc {pid} failed:\n{err_s[-3000:]}"
+    err0, err1 = outs[0][2], outs[1][2]
+    assert "MaxRelErr-%" in err0      # table on rank 0
+    assert "MaxRelErr-%" not in err1  # quiet on rank 1
+    assert "!!!!" not in err0
+
+
+@pytest.mark.slow
+def test_cli_two_process_ad(tmp_path):
+    """The adjoint symmetry test under 2 processes: the per-column error
+    reduces on device (no non-addressable fetch), verdict on rank 0."""
+    tiny, _ = _tiny_state_files(tmp_path)
+    outs = _spawn_cli_pair([
+        "ad", "4", "104", "104", "--dtype", "f64", "--input", str(tiny),
+        "--no-validate",
+    ])
+    for pid, (rc, _, err_s) in enumerate(outs):
+        assert rc == 0, f"proc {pid} failed:\n{err_s[-3000:]}"
+    err0, err1 = outs[0][2], outs[1][2]
+    assert "TEST OK" in err0
+    assert "TEST OK" not in err1
