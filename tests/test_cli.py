@@ -47,14 +47,24 @@ def test_cli_ad_passes():
 
 
 @pytest.mark.slow
-def test_cli_write_reference(tmp_path):
+def test_cli_write_reference_roundtrip(tmp_path):
+    """CLOUDSC2_WRITE_REFERENCE writes a golden that a subsequent
+    validation run passes against bit-for-bit (the reference's own
+    golden-regeneration workflow, cloudsc2_array_state_mod.F90:260-287)."""
     r = _run(
         ["nl", "1", "100", "100", "--no-validate"],
         env_extra={"CLOUDSC2_WRITE_REFERENCE": "1"},
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert (REPO / "reference.h5").exists()
-    (REPO / "reference.h5").unlink()
+    written = REPO / "reference.h5"
+    assert written.exists()
+    try:
+        r2 = _run(["nl", "1", "100", "100", "--reference", str(written)])
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "MaxRelErr-%" in r2.stderr
+        assert "!!!!" not in r2.stderr  # exact self-consistency
+    finally:
+        written.unlink()
 
 
 @pytest.mark.slow
