@@ -238,15 +238,26 @@ def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl):
             file=sys.stderr,
         )
     else:
-        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        n1 = sum(
-            float(jnp.sum(jnp.square(x.astype(acc))))
-            for x in jax.tree.leaves(dout)
-        )
-        n2 = sum(
-            float(jnp.sum((0.01 * x * ax).astype(acc)))
-            for x, ax in zip(jax.tree.leaves(i32), jax.tree.leaves(adj))
-        )
+        @jax.jit
+        def identity_parts(i, d, a):
+            # per-leaf partial sums; the FINAL accumulation happens on
+            # the host in f64 — an on-device f32 total would round the
+            # two norms to the same value (their difference ~1e-7 is
+            # below f32 resolution) and report a fake 0.0 error.  One
+            # program, two small-vector fetches (per-leaf float() syncs
+            # would pay ~25 ms tunnel latency each).
+            p1 = jnp.stack(
+                [jnp.sum(jnp.square(x)) for x in jax.tree.leaves(d)]
+            )
+            p2 = jnp.stack([
+                jnp.sum(0.01 * x * ax)
+                for x, ax in zip(jax.tree.leaves(i), jax.tree.leaves(a))
+            ])
+            return p1, p2
+
+        p1, p2 = identity_parts(i32, dout, adj)
+        n1 = float(np.asarray(p1, np.float64).sum())
+        n2 = float(np.asarray(p2, np.float64).sum())
         rel = abs(n1 - n2) / max(abs(n2), 1e-300)
         tol = 1e-2  # f32 dot-product rounding over the work unit
         ok = rel < tol
@@ -259,11 +270,37 @@ def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl):
     return ok
 
 
+def _interpret_mode(args, jax, rank0):
+    """Off-TPU --pallas runs the same kernel code in interpreter mode
+    (slow but correct) instead of failing in the Mosaic compiler."""
+    interp = args.pallas and jax.devices()[0].platform != "tpu"
+    if interp and rank0:
+        print("NOTE: --pallas off-TPU runs in Pallas interpret mode",
+              file=sys.stderr)
+    return interp
+
+
+def _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks):
+    """Per-process SPMD accounting + the gathered per-rank perf table
+    (≙ timer_mod.F90:155's MPI_GATHER): each process logs its local share
+    of the mesh's device lanes and columns."""
+    nproc = jax.process_count()
+    ndev = mesh.devices.size if mesh is not None else 1
+    nlanes = max(ndev // nproc, 1)
+    timer.spmd_log(nlanes, (ngptot // nproc) * args.repeat)
+    timer.thread_end(0)
+    timer.mirror_times(nlanes)
+    timer.end()
+    timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
+
+
 def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
               mesh=None):
     from .drivers import adjoint_test, taylor_test
 
     multi = mesh is not None and mesh.devices.size > 1
+    nproc = jax.process_count()
+    rank0 = jax.process_index() == 0
 
     if args.variant == "nl":
         from functools import partial
@@ -272,16 +309,10 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         blocked = getattr(args, "_blocked", False)
         backend = ("pallas_blocked" if blocked else "pallas") if args.pallas \
             else "xla"
-        # off-TPU --pallas runs the same kernel code in interpreter mode
-        # (slow but correct) instead of failing in the Mosaic compiler
-        interp = args.pallas and jax.devices()[0].platform != "tpu"
-        if interp and jax.process_index() == 0:
-            print("NOTE: --pallas off-TPU runs in Pallas interpret mode",
-                  file=sys.stderr)
         fn = partial(
             run_nl, params=state.params, backend=backend,
             mesh=mesh if (multi and args.pallas) else None,
-            interpret=interp,
+            interpret=_interpret_mode(args, jax, rank0),
         )
         timer.thread_start(0)
         out = fn(inputs)
@@ -289,17 +320,7 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         for _ in range(args.repeat - 1):
             out = fn(inputs)
             jax.block_until_ready(out)
-        nproc = jax.process_count()
-        ndev = mesh.devices.size if mesh is not None else 1
-        # device lanes this process accounts for (local share of the mesh)
-        nlanes = max(ndev // nproc, 1)
-        timer.spmd_log(nlanes, (ngptot // nproc) * args.repeat)
-        timer.thread_end(0)
-        timer.mirror_times(nlanes)
-        timer.end()
-        # multi-process: per-rank records gather to process 0
-        # (≙ timer_mod.F90:155's MPI_GATHER)
-        timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
+        _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks)
         ok = True
         need_std = (
             (not args.no_validate and pathlib.Path(reference_path).exists())
@@ -326,10 +347,10 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
             # prints the table (≙ the IRANK==0 guard around ERROR_PRINT)
             ok = state.validate_device(
                 val_out, val_in, reference_path, threshold=thr,
-                quiet=jax.process_index() != 0,
+                quiet=not rank0,
             )
         if os.environ.get("CLOUDSC2_WRITE_REFERENCE") == "1":
-            if jax.process_count() > 1:
+            if nproc > 1:
                 # golden writing is a single-process 100-column operation
                 # upstream too (WRITE_REFERENCE requires NPROMA==KLON,
                 # cloudsc2_array_state_mod.F90:264-268)
@@ -348,9 +369,6 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
                 print("Written reference results to reference.h5",
                       file=sys.stderr)
         return 0 if ok else 1
-
-    nproc = jax.process_count()
-    rank0 = jax.process_index() == 0
 
     if args.variant == "tl":
         timer.thread_start(0)
@@ -407,10 +425,7 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         else:
             backend = "xla"
         tlad_mesh = mesh if (multi and args.pallas) else None
-        interp = args.pallas and jax.devices()[0].platform != "tpu"
-        if interp and rank0:
-            print("NOTE: --pallas off-TPU runs in Pallas interpret mode",
-                  file=sys.stderr)
+        interp = _interpret_mode(args, jax, rank0)
         timer.thread_start(0)
         res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
                        backend=backend, mesh=tlad_mesh, interpret=interp)
@@ -419,14 +434,7 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
             res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
                            backend=backend, mesh=tlad_mesh, interpret=interp)
             jax.block_until_ready(res)
-        ndev = mesh.devices.size if mesh is not None else 1
-        # device lanes this process accounts for (local share of the mesh)
-        nlanes = max(ndev // nproc, 1)
-        timer.spmd_log(nlanes, (ngptot // nproc) * args.repeat)
-        timer.thread_end(0)
-        timer.mirror_times(nlanes)
-        timer.end()
-        timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
+        _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks)
         out, dout, adj = res
         # adjoint identity over the work unit, <Mdx,Mdx> vs <dx, M^T Mdx>
         # (cloudsc_driver_ad_mod.F90:184-264), with the canonical

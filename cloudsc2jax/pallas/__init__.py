@@ -1,3 +1,20 @@
-from .cloudsc2_kernel import cloudsc2_pallas
+from .cloudsc2_kernel import (
+    Cloudsc2BlockedOutputs,
+    EncodedInputs,
+    cloudsc2_pallas,
+    cloudsc2_pallas_encoded,
+    encode_blocked_inputs,
+    unblock_outputs,
+)
+from .tlad_kernel import cloudsc2_pallas_ad, cloudsc2_pallas_tl
 
-__all__ = ["cloudsc2_pallas"]
+__all__ = [
+    "cloudsc2_pallas",
+    "cloudsc2_pallas_tl",
+    "cloudsc2_pallas_ad",
+    "cloudsc2_pallas_encoded",
+    "encode_blocked_inputs",
+    "EncodedInputs",
+    "Cloudsc2BlockedOutputs",
+    "unblock_outputs",
+]

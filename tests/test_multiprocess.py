@@ -123,11 +123,42 @@ def _mp_env():
     return env
 
 
+
+def _golden_dict(inputs, out):
+    """Validation-field dict (framework order) from an NL run — the
+    golden payload both multi-process tests write for their workers."""
+    from cloudsc2jax.constants import NCLDQI, NCLDQL, NCLV
+
+    zeros = np.zeros_like(np.asarray(out.tenl_t))
+    species = [zeros] * NCLV
+    species[NCLDQL] = np.asarray(out.tenl_l)
+    species[NCLDQI] = np.asarray(out.tenl_i)
+    return {
+        "PLUDE": np.asarray(inputs.plude),
+        "PCOVPTOT": np.asarray(out.pcovptot),
+        "PFPLSL": np.asarray(out.pfplsl),
+        "PFPLSN": np.asarray(out.pfplsn),
+        "PFHPSL": np.asarray(out.pfhpsl),
+        "PFHPSN": np.asarray(out.pfhpsn),
+        "TENDENCY_LOC_A": zeros,
+        "TENDENCY_LOC_T": np.asarray(out.tenl_t),
+        "TENDENCY_LOC_Q": np.asarray(out.tenl_q),
+        "TENDENCY_LOC_CLD": np.stack(species, axis=1),
+    }
+
+
+def _write_golden(path, inputs, out):
+    from cloudsc2jax import io as cio
+
+    cio.write_reference_h5(
+        path,
+        {k: np.moveaxis(v, 0, -1) for k, v in _golden_dict(inputs, out).items()},
+    )
+
+
 @pytest.mark.slow
 def test_two_process_run_matches_single_process(tmp_path):
     # single-process reference values + golden file, in-parent
-    from cloudsc2jax import io as cio
-    from cloudsc2jax.constants import NCLDQI, NCLDQL, NCLV
     from cloudsc2jax.drivers import run_nl
     from cloudsc2jax.state import Cloudsc2State
 
@@ -141,27 +172,10 @@ def test_two_process_run_matches_single_process(tmp_path):
         lambda o: sum(jnp.sum(x) for x in jax.tree.leaves(o))
     )(out))
 
-    # golden file for the workers' cross-process validation
-    zeros = np.zeros_like(np.asarray(out.tenl_t)[:100])
-    species = [zeros] * NCLV
-    species[NCLDQL] = np.asarray(out.tenl_l)[:100]
-    species[NCLDQI] = np.asarray(out.tenl_i)[:100]
-    ref = {
-        "PLUDE": np.asarray(inputs.plude)[:100],
-        "PCOVPTOT": np.asarray(out.pcovptot)[:100],
-        "PFPLSL": np.asarray(out.pfplsl)[:100],
-        "PFPLSN": np.asarray(out.pfplsn)[:100],
-        "PFHPSL": np.asarray(out.pfhpsl)[:100],
-        "PFHPSN": np.asarray(out.pfhpsn)[:100],
-        "TENDENCY_LOC_A": zeros,
-        "TENDENCY_LOC_T": np.asarray(out.tenl_t)[:100],
-        "TENDENCY_LOC_Q": np.asarray(out.tenl_q)[:100],
-        "TENDENCY_LOC_CLD": np.stack(species, axis=1),
-    }
+    # golden file for the workers' cross-process validation (the inputs
+    # are the 100 stored columns, unpadded here)
     refpath = tmp_path / "reference_tiny.h5"
-    cio.write_reference_h5(
-        refpath, {k: np.moveaxis(v, 0, -1) for k, v in ref.items()}
-    )
+    _write_golden(refpath, inputs, out)
 
     port = _free_port()
     script = tmp_path / "worker.py"
@@ -323,10 +337,7 @@ def _spawn_cli_pair(cmd_tail, extra_env=None, timeout=560):
 def _tiny_state_files(tmp_path):
     """Tiny input + matching golden (f64 run of our own NL kernel) for
     multi-process CLI validation tests."""
-    import jax
-
     from cloudsc2jax import io as cio
-    from cloudsc2jax.constants import NCLDQI, NCLDQL, NCLV
     from cloudsc2jax.drivers import run_nl
     from cloudsc2jax.state import Cloudsc2State
 
@@ -337,26 +348,8 @@ def _tiny_state_files(tmp_path):
     st = Cloudsc2State.load(tiny)
     inputs = st.kernel_inputs()
     out = run_nl(inputs, st.params)
-    zeros = np.zeros_like(np.asarray(out.tenl_t))
-    species = [zeros] * NCLV
-    species[NCLDQL] = np.asarray(out.tenl_l)
-    species[NCLDQI] = np.asarray(out.tenl_i)
-    ref = {
-        "PLUDE": np.asarray(inputs.plude),
-        "PCOVPTOT": np.asarray(out.pcovptot),
-        "PFPLSL": np.asarray(out.pfplsl),
-        "PFPLSN": np.asarray(out.pfplsn),
-        "PFHPSL": np.asarray(out.pfhpsl),
-        "PFHPSN": np.asarray(out.pfhpsn),
-        "TENDENCY_LOC_A": zeros,
-        "TENDENCY_LOC_T": np.asarray(out.tenl_t),
-        "TENDENCY_LOC_Q": np.asarray(out.tenl_q),
-        "TENDENCY_LOC_CLD": np.stack(species, axis=1),
-    }
     refpath = tmp_path / "tiny_reference.h5"
-    cio.write_reference_h5(
-        refpath, {k: np.moveaxis(v, 0, -1) for k, v in ref.items()}
-    )
+    _write_golden(refpath, inputs, out)
     return tiny, refpath
 
 
