@@ -201,8 +201,10 @@ def main():
                 "measured_xla_cpu_f64_cols_per_s": m["xla_cpu_f64_cols_per_s"],
                 "provenance": "tools/measure_baseline.py (single-core host)",
             }
-        except Exception:
-            pass
+        except Exception as e:
+            # provenance is best-effort, but never drop it silently
+            print(f"bench.py: BASELINE_MEASURED.json unreadable ({e!r}); "
+                  "omitting 'baseline' provenance field", file=sys.stderr)
     print(json.dumps(record))
 
 

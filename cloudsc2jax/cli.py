@@ -187,7 +187,59 @@ def main(argv=None):
     return rc
 
 
-def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl):
+def _adjoint_identity(jax, state, inputs, dout, adj):
+    """Adjoint identity ⟨Mδx,Mδx⟩ vs ⟨δx,MᵀMδx⟩ with the canonical
+    δx = 0.01·x (cloudsc_driver_ad_mod.F90:184-264).
+
+    Per-leaf partial sums run on device under jit (collective on sharded
+    arrays — no leaf ever fetched, multi-process safe); the FINAL
+    accumulation happens on the host in f64 — an on-device f32 total
+    would round the two norms to the same value (their difference ~1e-7
+    is below f32 resolution) and report a fake 0.0 error.  One program,
+    two small-vector fetches (per-leaf float() syncs would pay ~25 ms
+    tunnel latency each).
+
+    Handles both the standard tangent contract and the blocked 8-stream
+    contract, where the flux seeds' (1+L²) scaling is folded out of the
+    rfln/sfln streams (dscale, DESIGN.md §7) and must be restored in the
+    norm.  Returns ``(rel_err, finite)``.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def parts(i, d, a):
+        cst = state.params.yomcst
+        if hasattr(d, "rfln"):  # blocked 8-stream contract
+            p1 = [
+                jnp.sum(jnp.square(x))
+                for x in (d.tenl_t, d.tenl_q, d.tenl_l, d.tenl_i,
+                          d.pclc, d.pcovptot)
+            ]
+            p1.append((1.0 + cst.rlvtt**2) * jnp.sum(jnp.square(d.rfln)))
+            p1.append((1.0 + cst.rlstt**2) * jnp.sum(jnp.square(d.sfln)))
+            p1 = jnp.stack(p1)
+        else:
+            p1 = jnp.stack(
+                [jnp.sum(jnp.square(x)) for x in jax.tree.leaves(d)]
+            )
+        p2 = jnp.stack([
+            jnp.sum(0.01 * x * ax)
+            for x, ax in zip(jax.tree.leaves(i), jax.tree.leaves(a))
+        ])
+        fin = jnp.all(jnp.stack([
+            jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves((d, a))
+        ]))
+        return p1, p2, fin
+
+    p1, p2, fin = parts(inputs, dout, adj)
+    n1 = float(np.asarray(p1, np.float64).sum())
+    n2 = float(np.asarray(p2, np.float64).sum())
+    rel = abs(n1 - n2) / max(abs(n2), 1e-300)
+    return rel, bool(fin)
+
+
+def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl,
+                      rank0=True):
     """The on-chip check behind ``tl --pallas`` / ``ad --pallas``
     (previously accepted-and-ignored flags, VERDICT r1 item 4).
 
@@ -231,42 +283,24 @@ def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl):
         rel = float(parity(i32, dout))
         tol = 1e-4  # f32 reassociation across the two schedules
         ok = bool(np.isfinite(rel)) and rel < tol
-        print(
-            f" TL(pallas) vs jvp parity [f32"
-            f"{', interpret' if interpret else ''}]: max rel err "
-            f"{rel:.3e} (tol {tol:g}) -> {'OK' if ok else 'FAILED'}",
-            file=sys.stderr,
-        )
-    else:
-        @jax.jit
-        def identity_parts(i, d, a):
-            # per-leaf partial sums; the FINAL accumulation happens on
-            # the host in f64 — an on-device f32 total would round the
-            # two norms to the same value (their difference ~1e-7 is
-            # below f32 resolution) and report a fake 0.0 error.  One
-            # program, two small-vector fetches (per-leaf float() syncs
-            # would pay ~25 ms tunnel latency each).
-            p1 = jnp.stack(
-                [jnp.sum(jnp.square(x)) for x in jax.tree.leaves(d)]
+        if rank0:
+            print(
+                f" TL(pallas) vs jvp parity [f32"
+                f"{', interpret' if interpret else ''}]: max rel err "
+                f"{rel:.3e} (tol {tol:g}) -> {'OK' if ok else 'FAILED'}",
+                file=sys.stderr,
             )
-            p2 = jnp.stack([
-                jnp.sum(0.01 * x * ax)
-                for x, ax in zip(jax.tree.leaves(i), jax.tree.leaves(a))
-            ])
-            return p1, p2
-
-        p1, p2 = identity_parts(i32, dout, adj)
-        n1 = float(np.asarray(p1, np.float64).sum())
-        n2 = float(np.asarray(p2, np.float64).sum())
-        rel = abs(n1 - n2) / max(abs(n2), 1e-300)
+    else:
+        rel, finite = _adjoint_identity(jax, state, i32, dout, adj)
         tol = 1e-2  # f32 dot-product rounding over the work unit
-        ok = rel < tol
-        print(
-            f" AD(pallas) identity <Mdx,Mdx> vs <dx,M^TMdx> [f32"
-            f"{', interpret' if interpret else ''}]: rel err "
-            f"{rel:.3e} (tol {tol:g}) -> {'OK' if ok else 'FAILED'}",
-            file=sys.stderr,
-        )
+        ok = finite and rel < tol
+        if rank0:
+            print(
+                f" AD(pallas) identity <Mdx,Mdx> vs <dx,M^TMdx> [f32"
+                f"{', interpret' if interpret else ''}]: rel err "
+                f"{rel:.3e} (tol {tol:g}) -> {'OK' if ok else 'FAILED'}",
+                file=sys.stderr,
+            )
     return ok
 
 
@@ -392,7 +426,7 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         ok = res.passed
         if args.pallas:
             ok = _pallas_f32_check("tl", jax, state, inputs, mesh,
-                                   lregcl=False) and ok
+                                   lregcl=False, rank0=rank0) and ok
         return 0 if ok else 1
 
     if args.variant == "ad":
@@ -410,7 +444,7 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         ok = res.passed
         if args.pallas:
             ok = _pallas_f32_check("ad", jax, state, inputs, mesh,
-                                   lregcl=True) and ok
+                                   lregcl=True, rank0=rank0) and ok
         return 0 if ok else 1
 
     if args.variant == "tlad":
@@ -436,38 +470,7 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
             jax.block_until_ready(res)
         _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks)
         out, dout, adj = res
-        # adjoint identity over the work unit, <Mdx,Mdx> vs <dx, M^T Mdx>
-        # (cloudsc_driver_ad_mod.F90:184-264), with the canonical
-        # dx = 0.01 x; computed on device under jit (collective on sharded
-        # arrays — no leaf ever fetched, multi-process safe), only the
-        # three scalars cross the host link
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _norms(i, d, a):
-            cst = state.params.yomcst
-            if hasattr(d, "rfln"):  # blocked 8-stream contract
-                n1 = sum(
-                    jnp.sum(jnp.square(x))
-                    for x in (d.tenl_t, d.tenl_q, d.tenl_l, d.tenl_i,
-                              d.pclc, d.pcovptot)
-                )
-                n1 += (1.0 + cst.rlvtt**2) * jnp.sum(jnp.square(d.rfln))
-                n1 += (1.0 + cst.rlstt**2) * jnp.sum(jnp.square(d.sfln))
-            else:
-                n1 = sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(d))
-            n2 = sum(
-                jnp.sum(0.01 * x * ax)
-                for x, ax in zip(jax.tree.leaves(i), jax.tree.leaves(a))
-            )
-            fin = jnp.all(jnp.stack([
-                jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves((d, a))
-            ]))
-            return n1, n2, fin
-
-        n1, n2, fin = _norms(inputs, dout, adj)
-        finite = bool(fin)
-        rel = abs(float(n1) - float(n2)) / max(abs(float(n2)), 1e-300)
+        rel, finite = _adjoint_identity(jax, state, inputs, dout, adj)
         tol = 1e-10 if args.dtype == "f64" else 1e-2  # f32 dot-product rounding
         ok = finite and rel < tol
         if rank0:

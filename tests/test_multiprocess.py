@@ -208,102 +208,6 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert "TOTAL @" not in out1
 
 
-@pytest.mark.slow
-def test_cli_two_process_nl(tmp_path):
-    """The cli.py nproc>1 path end-to-end: env-driven distributed init,
-    per-process shard materialisation, gathered perf table."""
-    from cloudsc2jax import io as cio
-
-    fields, params = cio.synthetic_state(nlon=40, nlev=9)
-    tiny = tmp_path / "tiny_input.h5"
-    cio.write_input_h5(tiny, fields, params)
-
-    port = _free_port()
-    env = _mp_env()
-    env.update(
-        CLOUDSC2_NUM_PROCESSES="2",
-        CLOUDSC2_COORDINATOR=f"localhost:{port}",
-        CLOUDSC2_NUM_CPU_DEVICES="2",
-    )
-    cmds = []
-    for pid in (0, 1):
-        cmds.append([
-            sys.executable, "-m", "cloudsc2jax", "nl", "4", "104", "52",
-            "--dtype", "f32", "--input", str(tiny), "--no-validate",
-        ])
-    envs = [dict(env, CLOUDSC2_PROCESS_ID=str(pid)) for pid in (0, 1)]
-    procs = [
-        subprocess.Popen(
-            c, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=e, cwd=REPO,
-        )
-        for c, e in zip(cmds, envs)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=560)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
-    for pid, (rc, _, err_s) in enumerate(outs):
-        assert rc == 0, f"CLI proc {pid} failed:\n{err_s[-3000:]}"
-    err0, err1 = outs[0][2], outs[1][2]
-    assert "NUMPROC=2" in err0
-    assert "NUMPROC=" not in err1  # rank-0-only prints
-    assert "TOTAL @ rank#0" in err0 and "TOTAL @ rank#1" in err0
-    assert "TOTAL @" not in err1
-
-
-@pytest.mark.slow
-def test_cli_two_process_tlad(tmp_path):
-    """The tlad work unit under 2 processes: jitted collective norms and
-    finite check (no non-addressable fetches), gathered perf table,
-    rank-0-only verdict."""
-    from cloudsc2jax import io as cio
-
-    fields, params = cio.synthetic_state(nlon=40, nlev=9)
-    tiny = tmp_path / "tiny_input.h5"
-    cio.write_input_h5(tiny, fields, params)
-
-    port = _free_port()
-    env = _mp_env()
-    env.update(
-        CLOUDSC2_NUM_PROCESSES="2",
-        CLOUDSC2_COORDINATOR=f"localhost:{port}",
-        CLOUDSC2_NUM_CPU_DEVICES="2",
-    )
-    cmd = [
-        sys.executable, "-m", "cloudsc2jax", "tlad", "4", "104", "52",
-        "--dtype", "f32", "--input", str(tiny), "--no-validate",
-    ]
-    envs = [dict(env, CLOUDSC2_PROCESS_ID=str(pid)) for pid in (0, 1)]
-    procs = [
-        subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=e, cwd=REPO,
-        )
-        for e in envs
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=560)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
-    for pid, (rc, _, err_s) in enumerate(outs):
-        assert rc == 0, f"tlad proc {pid} failed:\n{err_s[-3000:]}"
-    err0, err1 = outs[0][2], outs[1][2]
-    assert "tlad outputs finite: True" in err0
-    assert "tlad outputs finite" not in err1  # rank-0-only verdict
-    assert "TOTAL @ rank#1" in err0 and "TOTAL @" not in err1
-
-
 def _spawn_cli_pair(cmd_tail, extra_env=None, timeout=560):
     port = _free_port()
     env = _mp_env()
@@ -334,17 +238,58 @@ def _spawn_cli_pair(cmd_tail, extra_env=None, timeout=560):
     return outs
 
 
-def _tiny_state_files(tmp_path):
-    """Tiny input + matching golden (f64 run of our own NL kernel) for
-    multi-process CLI validation tests."""
+def _tiny_input(tmp_path):
     from cloudsc2jax import io as cio
-    from cloudsc2jax.drivers import run_nl
-    from cloudsc2jax.state import Cloudsc2State
 
     fields, params = cio.synthetic_state(nlon=40, nlev=9)
     tiny = tmp_path / "tiny_input.h5"
     cio.write_input_h5(tiny, fields, params)
+    return tiny
 
+
+@pytest.mark.slow
+def test_cli_two_process_nl(tmp_path):
+    """The cli.py nproc>1 path end-to-end: env-driven distributed init,
+    per-process shard materialisation, gathered perf table."""
+    tiny = _tiny_input(tmp_path)
+    outs = _spawn_cli_pair([
+        "nl", "4", "104", "52", "--dtype", "f32",
+        "--input", str(tiny), "--no-validate",
+    ])
+    for pid, (rc, _, err_s) in enumerate(outs):
+        assert rc == 0, f"CLI proc {pid} failed:\n{err_s[-3000:]}"
+    err0, err1 = outs[0][2], outs[1][2]
+    assert "NUMPROC=2" in err0
+    assert "NUMPROC=" not in err1  # rank-0-only prints
+    assert "TOTAL @ rank#0" in err0 and "TOTAL @ rank#1" in err0
+    assert "TOTAL @" not in err1
+
+
+@pytest.mark.slow
+def test_cli_two_process_tlad(tmp_path):
+    """The tlad work unit under 2 processes: jitted collective norms and
+    finite check (no non-addressable fetches), gathered perf table,
+    rank-0-only verdict."""
+    tiny = _tiny_input(tmp_path)
+    outs = _spawn_cli_pair([
+        "tlad", "4", "104", "52", "--dtype", "f32",
+        "--input", str(tiny), "--no-validate",
+    ])
+    for pid, (rc, _, err_s) in enumerate(outs):
+        assert rc == 0, f"tlad proc {pid} failed:\n{err_s[-3000:]}"
+    err0, err1 = outs[0][2], outs[1][2]
+    assert "tlad outputs finite: True" in err0
+    assert "tlad outputs finite" not in err1  # rank-0-only verdict
+    assert "TOTAL @ rank#1" in err0 and "TOTAL @" not in err1
+
+
+def _tiny_state_files(tmp_path):
+    """Tiny input + matching golden (f64 run of our own NL kernel) for
+    multi-process CLI validation tests."""
+    from cloudsc2jax.drivers import run_nl
+    from cloudsc2jax.state import Cloudsc2State
+
+    tiny = _tiny_input(tmp_path)
     st = Cloudsc2State.load(tiny)
     inputs = st.kernel_inputs()
     out = run_nl(inputs, st.params)
