@@ -630,7 +630,8 @@ def cloudsc2_pallas_encoded(
     """
     if not (bool(params.yrephli.lphylin) or ldrain1d):
         raise NotImplementedError(
-            "cloudsc2_pallas implements the LPHYLIN=True configuration only"
+            "cloudsc2_pallas_encoded implements the LPHYLIN=True "
+            "configuration only"
         )
     fuse_satur = enc_inputs.fuse_satur
     streams = enc_inputs.streams
@@ -705,9 +706,14 @@ def cloudsc2_pallas_encoded(
     )
     out_shape = jax.ShapeDtypeStruct((nlev, nb, sublanes, 128), dtype)
     n_ops = len(streams) + 1
+    # per-FETCH traffic: each operand window moves one block per grid
+    # step (nb*nlev fetches), so paph's nlev+1 stored levels still cost
+    # nlev*nb blocks per read site (it appears twice: k and k+1 maps);
+    # the lane-broadcast decode windows add their ~19 KB/step DMA too
     in_bytes = sum(
         s.dtype.itemsize * nlev * nb * sublanes * 128 for s in streams
     ) + streams[-1].dtype.itemsize * nlev * nb * sublanes * 128
+    in_bytes += sum(op.shape[1] for op in enc_ops) * 128 * 4 * nlev * nb
     cost = pl.CostEstimate(
         flops=(292 + 3 * n_ops) * nlev * nb * sublanes * 128,
         bytes_accessed=in_bytes + N_OUTPUTS * nlev * nb * sublanes * 128 * 4,
@@ -824,6 +830,44 @@ class _Layout:
     def field_specs(self, rev: bool):
         lev_s, plu_s, hi_s, _, _ = self.specs(rev)
         return [lev_s] * N_LEVEL_FIELDS + [plu_s, lev_s, hi_s]
+
+    # C-level chunk variant (the per-step window-issue-latency
+    # experiment, DESIGN.md §8): each grid step moves a (C,1,S,128)
+    # block of every stream and loops the level body C times
+    # in-register, so the grid has ceil(nlev/C) level steps.  The
+    # single-level shifted views plu(k+1)/paph(k+1) become slot c+1 of
+    # the same chunk, or slot 0 of the NEIGHBOUR chunk (the ``*_nxt``
+    # operands) at the chunk boundary — index maps stay block-aligned.
+    def chunk_field_specs(self, C: int, rev: bool):
+        """Returns (in_specs for 14 lev + plu/plu_nxt + paph/paph_nxt,
+        the chunk lev spec for outputs, nchunks)."""
+        nch = -(-self.nlev // C)
+        nch_paph = -(-(self.nlev + 1) // C)
+        blk = (C, 1, self.sublanes, 128)
+        if rev:
+            cm = lambda b, k: (nch - 1 - k, b, 0, 0)
+            nx = lambda lim: (
+                lambda b, k: (jnp.minimum(nch - k, lim), b, 0, 0)
+            )
+        else:
+            cm = lambda b, k: (k, b, 0, 0)
+            nx = lambda lim: (
+                lambda b, k: (jnp.minimum(k + 1, lim), b, 0, 0)
+            )
+        mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+        lev_s = mk(cm)
+        specs = [lev_s] * N_LEVEL_FIELDS + [
+            lev_s, mk(nx(nch - 1)), lev_s, mk(nx(nch_paph - 1)),
+        ]
+        return specs, lev_s, nch
+
+    def chunk_operands(self, arrs):
+        """The chunked stream order: 14 level fields, then plu twice
+        (chunk + neighbour chunk) and paph twice (same)."""
+        blocks = [self.to_blocks(arrs[name]) for name in _LEVEL_FIELDS]
+        plu = self.to_blocks(arrs["plu"])
+        paph = self.to_blocks(arrs["paph"])
+        return (*blocks, plu, plu, paph, paph)
 
     def out_shape(self):
         return jax.ShapeDtypeStruct(

@@ -89,6 +89,24 @@ def fold_flux_seeds(d_out: Cloudsc2BlockedOutputs, params: Params):
     )
 
 _NF = N_LEVEL_FIELDS + 3  # raw level streams + plu(k+1), paph(k), paph(k+1)
+_NF_CHUNK = N_LEVEL_FIELDS + 4  # chunked: plu/plu_nxt, paph/paph_nxt
+
+
+def _chunk_reads(lev_refs, c, chunk, notlast):
+    """Assemble the 17-value per-level field tuple from C-level chunk
+    refs (``_Layout.chunk_operands`` order).
+
+    The k+1 views come from slot ``c+1`` of the same chunk or slot 0 of
+    the neighbour chunk at the boundary; the plu(k+1) read reproduces
+    the single-level path's ``min(k+1, nlev-1)`` index clamp as a
+    ``where`` on ``notlast`` (same selected value, so the two schedules
+    agree exactly)."""
+    f14 = tuple(r[c, 0] for r in lev_refs[:N_LEVEL_FIELDS])
+    plu_ref, plu_nxt, paph_ref, paph_nxt = lev_refs[N_LEVEL_FIELDS:]
+    plu_up = plu_ref[c + 1, 0] if c + 1 < chunk else plu_nxt[0, 0]
+    plu_k1 = jnp.where(notlast, plu_up, plu_ref[c, 0])
+    paph_hi = paph_ref[c + 1, 0] if c + 1 < chunk else paph_nxt[0, 0]
+    return (*f14, plu_k1, paph_ref[c, 0], paph_hi)
 
 
 def _assemble_outputs(lay: _Layout, params: Params, outs,
@@ -124,7 +142,8 @@ def _seed_streams(lay: _Layout, params: Params, d_outputs: Cloudsc2Outputs,
 
 # ------------------------------------------------------------------ TL
 def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
-               save_ckpt: bool = False, dscale=None):
+               save_ckpt: bool = False, dscale=None, chunk: int = 1,
+               nlev: int = 0):
     """Fused trajectory+tangent level step (≙ cloudsc2tl.F90 dual
     statements); primal and tangent carries in VMEM scratch.
 
@@ -135,11 +154,17 @@ def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
     ``dscale`` replaces the 17 tangent streams with in-register
     ``dx = dscale * x`` — the canonical driver increments
     (cloudsc_driver_{tl,ad}_mod.F90: 0.01·x) as the reference holds them,
-    block-local temporaries rather than grid-scale arrays."""
+    block-local temporaries rather than grid-scale arrays.
+
+    ``chunk`` > 1: each grid step covers a (C,1,S,128) block of every
+    stream and runs the level body C times in-register (ascending);
+    levels past ``nlev`` in a partial final chunk are carry-masked and
+    their (Pallas-OOB) writes dropped."""
+    nf = _NF if chunk == 1 else _NF_CHUNK
     ceta_ref, zscalm_ref, notlast_ref, *rest = refs
-    lev_refs, rest = rest[:_NF], rest[_NF:]
+    lev_refs, rest = rest[:nf], rest[nf:]
     if dscale is None:
-        dlev_refs, rest = rest[:_NF], rest[_NF:]
+        dlev_refs, rest = rest[:nf], rest[nf:]
         ztrpaus_ref, paphsfc_ref, dpaphsfc_ref = rest[:3]
         rest = rest[3:]
     else:
@@ -156,37 +181,59 @@ def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
         for s in (rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s):
             s[...] = jnp.zeros_like(s)
 
-    scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
-    fields = tuple(r[0, 0] for r in lev_refs)
     ztrpaus = ztrpaus_ref[0]
     cols = (ztrpaus, paphsfc_ref[0])
-    # the tropopause eta is piecewise-constant in the inputs — zero tangent
-    # (cloudsc2.F90:314-326; same convention as the pure-JAX kernel)
-    if dscale is None:
-        dfields = tuple(r[0, 0] for r in dlev_refs)
-        dcols = (jnp.zeros_like(ztrpaus), dpaphsfc_ref[0])
-    else:
-        dfields = tuple(dscale * x for x in fields)
-        dcols = (jnp.zeros_like(ztrpaus), dscale * paphsfc_ref[0])
     carry = (rfl_s[...], sfl_s[...], cov_s[...])
     dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
-    if save_ckpt:
-        for r, v in zip(out_refs[2 * N_OUTPUTS :], carry):
-            r[0, 0] = v
 
-    def f(fl, co, ca):
-        return _level_physics(params, ldrain1d, scalars, fl, co, ca,
-                              lregcl=lregcl)
+    for c in range(chunk):
+        if chunk == 1:
+            scalars = (ceta_ref[k, 0], zscalm_ref[k, 0],
+                       notlast_ref[k, 0] > 0)
+            fields = tuple(r[0, 0] for r in lev_refs)
+            dext = (tuple(r[0, 0] for r in dlev_refs)
+                    if dscale is None else None)
+            valid = None
+        else:
+            lev = k * chunk + c
+            li = jnp.minimum(lev, nlev - 1)
+            notlast = notlast_ref[li, 0] > 0
+            scalars = (ceta_ref[li, 0], zscalm_ref[li, 0], notlast)
+            fields = _chunk_reads(lev_refs, c, chunk, notlast)
+            dext = (_chunk_reads(dlev_refs, c, chunk, notlast)
+                    if dscale is None else None)
+            valid = (lev < nlev) if nlev % chunk else None
+        # the tropopause eta is piecewise-constant in the inputs — zero
+        # tangent (cloudsc2.F90:314-326; same as the pure-JAX kernel)
+        if dscale is None:
+            dfields = dext
+            dcols = (jnp.zeros_like(ztrpaus), dpaphsfc_ref[0])
+        else:
+            dfields = tuple(dscale * x for x in fields)
+            dcols = (jnp.zeros_like(ztrpaus), dscale * paphsfc_ref[0])
+        if save_ckpt:
+            for r, v in zip(out_refs[2 * N_OUTPUTS :], carry):
+                r[c, 0] = v
 
-    (outs, newc), (douts, dnewc) = jax.jvp(
-        f, (fields, cols, carry), (dfields, dcols, dcarry)
-    )
-    for r, v in zip(out_refs[:N_OUTPUTS], outs):
-        r[0, 0] = v
-    for r, v in zip(out_refs[N_OUTPUTS:], douts):
-        r[0, 0] = v
-    rfl_s[...], sfl_s[...], cov_s[...] = newc
-    drfl_s[...], dsfl_s[...], dcov_s[...] = dnewc
+        def f(fl, co, ca, _s=scalars):
+            return _level_physics(params, ldrain1d, _s, fl, co, ca,
+                                  lregcl=lregcl)
+
+        (outs, newc), (douts, dnewc) = jax.jvp(
+            f, (fields, cols, carry), (dfields, dcols, dcarry)
+        )
+        for r, v in zip(out_refs[:N_OUTPUTS], outs):
+            r[c, 0] = v
+        for r, v in zip(out_refs[N_OUTPUTS : 2 * N_OUTPUTS], douts):
+            r[c, 0] = v
+        if valid is not None:
+            newc = tuple(jnp.where(valid, n, o)
+                         for n, o in zip(newc, carry))
+            dnewc = tuple(jnp.where(valid, n, o)
+                          for n, o in zip(dnewc, dcarry))
+        carry, dcarry = newc, dnewc
+    rfl_s[...], sfl_s[...], cov_s[...] = carry
+    drfl_s[...], dsfl_s[...], dcov_s[...] = dcarry
 
 
 def cloudsc2_pallas_tl(
@@ -201,6 +248,7 @@ def cloudsc2_pallas_tl(
     blocked: bool = False,
     save_checkpoints: bool = False,
     dscale=None,
+    chunk_levels: int = 1,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Outputs]:
     """Fused-kernel tangent-linear CLOUDSC2: returns (outputs, d_outputs).
@@ -221,7 +269,11 @@ def cloudsc2_pallas_tl(
     ``dscale`` (with ``d_inputs=None``): the canonical driver increments
     dx = dscale·x are formed in-register — no tangent streams exist in
     HBM at all, matching the reference drivers' block-local perturbation
-    temporaries (cloudsc_driver_tl_mod.F90:156-171)."""
+    temporaries (cloudsc_driver_tl_mod.F90:156-171).
+
+    ``chunk_levels`` (C): C levels per grid step — same results, fewer,
+    larger DMA windows (the per-step window-issue-latency experiment,
+    DESIGN.md §8)."""
     if save_checkpoints and not blocked:
         raise ValueError("save_checkpoints requires blocked=True")
     if (d_inputs is None) == (dscale is None):
@@ -235,9 +287,17 @@ def cloudsc2_pallas_tl(
         )
     lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
 
-    lev_s_list = lay.field_specs(rev=False)
+    if chunk_levels == 1:
+        lev_s_list = lay.field_specs(rev=False)
+        out_spec = lev_s_list[0]
+        nsteps = lay.nlev
+        lev_ops = lay.level_operands
+    else:
+        lev_s_list, out_spec, nsteps = lay.chunk_field_specs(
+            chunk_levels, rev=False
+        )
+        lev_ops = lay.chunk_operands
     _, _, _, col_s, smem_s = lay.specs(rev=False)
-    out_spec = lev_s_list[0]
     nout = 2 * N_OUTPUTS + (3 if save_checkpoints else 0)
 
     if dscale is None:
@@ -248,8 +308,8 @@ def cloudsc2_pallas_tl(
             d_arrs = {k: v.T for k, v in d_arrs.items()}
         in_specs = [smem_s] * 3 + lev_s_list + lev_s_list + [col_s] * 3
         operands = (
-            *lay.level_operands(lay.arrs),
-            *lay.level_operands(d_arrs),
+            *lev_ops(lay.arrs),
+            *lev_ops(d_arrs),
             lay.ztrpaus_b, lay.paphsfc_b,
             lay.colblocks(d_arrs["paph"][lay.nlev]),
         )
@@ -257,7 +317,7 @@ def cloudsc2_pallas_tl(
     else:
         in_specs = [smem_s] * 3 + lev_s_list + [col_s] * 2
         operands = (
-            *lay.level_operands(lay.arrs), lay.ztrpaus_b, lay.paphsfc_b
+            *lev_ops(lay.arrs), lay.ztrpaus_b, lay.paphsfc_b
         )
         nstreams = _NF
 
@@ -265,6 +325,7 @@ def cloudsc2_pallas_tl(
         _tl_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
         save_ckpt=save_checkpoints,
         dscale=None if dscale is None else float(dscale),
+        chunk=chunk_levels, nlev=lay.nlev,
     )
     cost = pl.CostEstimate(
         flops=2 * 292 * lay.nlev * lay.nb * lay.bc,
@@ -274,7 +335,7 @@ def cloudsc2_pallas_tl(
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(lay.nb, lay.nlev),
+        grid=(lay.nb, nsteps),
         in_specs=in_specs,
         out_specs=[out_spec] * nout,
         out_shape=[lay.out_shape()] * nout,
@@ -294,12 +355,14 @@ def cloudsc2_pallas_tl(
 
 
 # ------------------------------------------------------------------ AD
-def _fwd_ckpt_kernel(*refs, params: Params, ldrain1d: bool):
+def _fwd_ckpt_kernel(*refs, params: Params, ldrain1d: bool,
+                     chunk: int = 1, nlev: int = 0):
     """NL stream schedule + per-level carry-IN checkpoints (the minimal
     trajectory store: ≙ cloudsc2ad.F90's forward sweep, with its ~40
     (KLON,KLEV) arrays reduced to the 3-variable carry)."""
+    nf = _NF if chunk == 1 else _NF_CHUNK
     ceta_ref, zscalm_ref, notlast_ref, *rest = refs
-    lev_refs, rest = rest[:_NF], rest[_NF:]
+    lev_refs, rest = rest[:nf], rest[nf:]
     ztrpaus_ref, paphsfc_ref = rest[:2]
     out_refs = rest[2 : 2 + N_OUTPUTS]
     ckpt_refs = rest[2 + N_OUTPUTS : 5 + N_OUTPUTS]
@@ -312,31 +375,49 @@ def _fwd_ckpt_kernel(*refs, params: Params, ldrain1d: bool):
         for s in (rfl_s, sfl_s, cov_s):
             s[...] = jnp.zeros_like(s)
 
-    scalars = (ceta_ref[k, 0], zscalm_ref[k, 0], notlast_ref[k, 0] > 0)
-    fields = tuple(r[0, 0] for r in lev_refs)
     cols = (ztrpaus_ref[0], paphsfc_ref[0])
     carry = (rfl_s[...], sfl_s[...], cov_s[...])
-    for r, v in zip(ckpt_refs, carry):  # checkpoint the carry-in
-        r[0, 0] = v
-
-    outs, (zrfln, zsfln, zcovptot) = _level_physics(
-        params, ldrain1d, scalars, fields, cols, carry
-    )
-    for r, v in zip(out_refs, outs):
-        r[0, 0] = v
-    rfl_s[...] = zrfln
-    sfl_s[...] = zsfln
-    cov_s[...] = zcovptot
+    for c in range(chunk):
+        if chunk == 1:
+            scalars = (ceta_ref[k, 0], zscalm_ref[k, 0],
+                       notlast_ref[k, 0] > 0)
+            fields = tuple(r[0, 0] for r in lev_refs)
+            valid = None
+        else:
+            lev = k * chunk + c
+            li = jnp.minimum(lev, nlev - 1)
+            notlast = notlast_ref[li, 0] > 0
+            scalars = (ceta_ref[li, 0], zscalm_ref[li, 0], notlast)
+            fields = _chunk_reads(lev_refs, c, chunk, notlast)
+            valid = (lev < nlev) if nlev % chunk else None
+        for r, v in zip(ckpt_refs, carry):  # checkpoint the carry-in
+            r[c, 0] = v
+        outs, newc = _level_physics(
+            params, ldrain1d, scalars, fields, cols, carry
+        )
+        for r, v in zip(out_refs, outs):
+            r[c, 0] = v
+        if valid is not None:
+            newc = tuple(jnp.where(valid, n, o)
+                         for n, o in zip(newc, carry))
+        carry = newc
+    rfl_s[...], sfl_s[...], cov_s[...] = carry
 
 
 def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
-                nlev: int, seed_scales=None):
+                nlev: int, seed_scales=None, chunk: int = 1):
     """Reverse sweep (≙ cloudsc2ad.F90:934-1668, DO JK=KLEV,1,-1): the
     grid's level axis runs backwards via the reversed index maps; the
     level trajectory is recomputed from raw fields + carry checkpoint and
-    transposed in-register with jax.vjp; adjoint carry in VMEM scratch."""
+    transposed in-register with jax.vjp; adjoint carry in VMEM scratch.
+
+    ``chunk`` > 1: C levels per grid step, processed DESCENDING
+    in-register; the adjoint output convention (17 shifted-view streams,
+    slot = physical level) is unchanged, so the XLA shift-scatter
+    assembly downstream is identical."""
+    nf = _NF if chunk == 1 else _NF_CHUNK
     ceta_ref, zscalm_ref, notlast_ref, *rest = refs
-    lev_refs, rest = rest[:_NF], rest[_NF:]
+    lev_refs, rest = rest[:nf], rest[nf:]
     ckpt_refs, rest = rest[:3], rest[3:]
     seed_refs, rest = rest[:N_OUTPUTS], rest[N_OUTPUTS:]
     ztrpaus_ref, paphsfc_ref = rest[:2]
@@ -345,7 +426,7 @@ def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
     drfl_s, dsfl_s, dcov_s = rest[3 + _NF :]
 
     k = pl.program_id(1)
-    kr = nlev - 1 - k  # physical level of this step
+    nch = -(-nlev // chunk)
 
     @pl.when(k == 0)
     def _init():
@@ -353,32 +434,52 @@ def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
             s[...] = jnp.zeros_like(s)
         dpaphsfc_ref[0] = jnp.zeros_like(dpaphsfc_ref[0])
 
-    scalars = (ceta_ref[kr, 0], zscalm_ref[kr, 0], notlast_ref[kr, 0] > 0)
-    fields = tuple(r[0, 0] for r in lev_refs)
     cols = (ztrpaus_ref[0], paphsfc_ref[0])
-    carry_in = tuple(r[0, 0] for r in ckpt_refs)
-
-    def f(fl, co, ca):
-        return _level_physics(params, ldrain1d, scalars, fl, co, ca,
-                              lregcl=lregcl)
-
-    _, vjp_fn = jax.vjp(f, fields, cols, carry_in)
-    seeds = tuple(r[0, 0] for r in seed_refs)
-    if seed_scales is not None:
-        # flux-seed fold done in-register on load (saves the standalone
-        # XLA pass between the TL and AD custom calls; see
-        # fold_flux_seeds for the (1+L^2) derivation)
-        srfl, ssfl = seed_scales
-        seeds = seeds[:6] + (seeds[6] * srfl, seeds[7] * ssfl)
     dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
-    dfields, dcols, dcarry_in = vjp_fn((seeds, dcarry))
+    dsfc = jnp.zeros_like(paphsfc_ref[0])
+    for c in reversed(range(chunk)):
+        if chunk == 1:
+            kr = nlev - 1 - k  # physical level of this step
+            scalars = (ceta_ref[kr, 0], zscalm_ref[kr, 0],
+                       notlast_ref[kr, 0] > 0)
+            fields = tuple(r[0, 0] for r in lev_refs)
+            valid = None
+        else:
+            lev = (nch - 1 - k) * chunk + c
+            li = jnp.minimum(lev, nlev - 1)
+            notlast = notlast_ref[li, 0] > 0
+            scalars = (ceta_ref[li, 0], zscalm_ref[li, 0], notlast)
+            fields = _chunk_reads(lev_refs, c, chunk, notlast)
+            valid = (lev < nlev) if nlev % chunk else None
+        carry_in = tuple(r[c, 0] for r in ckpt_refs)
 
-    for r, v in zip(dout_refs, dfields):
-        r[0, 0] = v
-    drfl_s[...], dsfl_s[...], dcov_s[...] = dcarry_in
-    # d_ztrpaus (dcols[0]) propagates to exactly zero through the
-    # stop-gradient masked max (cloudsc2_kernel._tropopause_eta_lm) — drop.
-    dpaphsfc_ref[0] = dpaphsfc_ref[0] + dcols[1]
+        def f(fl, co, ca, _s=scalars):
+            return _level_physics(params, ldrain1d, _s, fl, co, ca,
+                                  lregcl=lregcl)
+
+        _, vjp_fn = jax.vjp(f, fields, cols, carry_in)
+        seeds = tuple(r[c, 0] for r in seed_refs)
+        if seed_scales is not None:
+            # flux-seed fold done in-register on load (saves the
+            # standalone XLA pass between the TL and AD custom calls;
+            # see fold_flux_seeds for the (1+L^2) derivation)
+            srfl, ssfl = seed_scales
+            seeds = seeds[:6] + (seeds[6] * srfl, seeds[7] * ssfl)
+        dfields, dcols, dcarry_in = vjp_fn((seeds, dcarry))
+
+        for r, v in zip(dout_refs, dfields):
+            r[c, 0] = v
+        if valid is not None:
+            dcarry_in = tuple(jnp.where(valid, n, o)
+                              for n, o in zip(dcarry_in, dcarry))
+            dsfc = dsfc + jnp.where(valid, dcols[1], 0.0)
+        else:
+            dsfc = dsfc + dcols[1]
+        # d_ztrpaus (dcols[0]) propagates to exactly zero through the
+        # stop-gradient masked max (_tropopause_eta_lm) — drop.
+        dcarry = dcarry_in
+    drfl_s[...], dsfl_s[...], dcov_s[...] = dcarry
+    dpaphsfc_ref[0] = dpaphsfc_ref[0] + dsfc
 
 
 def cloudsc2_pallas_ad(
@@ -393,6 +494,7 @@ def cloudsc2_pallas_ad(
     blocked: bool = False,
     checkpoints=None,
     fold_seeds: bool = False,
+    chunk_levels: int = 1,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Inputs]:
     """Fused-kernel adjoint CLOUDSC2: returns (outputs, input_adjoints).
@@ -425,19 +527,29 @@ def cloudsc2_pallas_ad(
             "cloudsc2jax.tlad for lphylin=False"
         )
     lay = _Layout(inputs, params, sublanes, levels_major, blocked=blocked)
-    lev_fwd = lay.field_specs(rev=False)
-    lev_rev = lay.field_specs(rev=True)
+    if chunk_levels == 1:
+        lev_fwd = lay.field_specs(rev=False)
+        lev_rev = lay.field_specs(rev=True)
+        fwd_spec, rev_spec = lev_fwd[0], lev_rev[0]
+        nsteps = lay.nlev
+        operands = lay.level_operands(lay.arrs)
+    else:
+        lev_fwd, fwd_spec, nsteps = lay.chunk_field_specs(
+            chunk_levels, rev=False
+        )
+        lev_rev, rev_spec, _ = lay.chunk_field_specs(chunk_levels, rev=True)
+        operands = lay.chunk_operands(lay.arrs)
     _, _, _, col_s, smem_s = lay.specs(rev=False)
-    fwd_spec, rev_spec = lev_fwd[0], lev_rev[0]
-    operands = lay.level_operands(lay.arrs)
 
     if checkpoints is not None:
         outs, ckpts = None, tuple(checkpoints)
     else:
         # ---- forward sweep with carry checkpoints
         fwd = pl.pallas_call(
-            functools.partial(_fwd_ckpt_kernel, params=params, ldrain1d=ldrain1d),
-            grid=(lay.nb, lay.nlev),
+            functools.partial(_fwd_ckpt_kernel, params=params,
+                              ldrain1d=ldrain1d, chunk=chunk_levels,
+                              nlev=lay.nlev),
+            grid=(lay.nb, nsteps),
             in_specs=[smem_s] * 3 + lev_fwd + [col_s] * 2,
             out_specs=[fwd_spec] * (N_OUTPUTS + 3),
             out_shape=[lay.out_shape()] * (N_OUTPUTS + 3),
@@ -460,14 +572,14 @@ def cloudsc2_pallas_ad(
     rev = pl.pallas_call(
         functools.partial(
             _rev_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
-            nlev=lay.nlev,
+            nlev=lay.nlev, chunk=chunk_levels,
             seed_scales=(
                 (1.0 + float(params.yomcst.rlvtt) ** 2,
                  1.0 + float(params.yomcst.rlstt) ** 2)
                 if fold_seeds else None
             ),
         ),
-        grid=(lay.nb, lay.nlev),
+        grid=(lay.nb, nsteps),
         in_specs=[smem_s] * 3 + lev_rev + [rev_spec] * 3
         + [rev_spec] * N_OUTPUTS + [col_s] * 2,
         out_specs=[rev_spec] * _NF + [col_s],

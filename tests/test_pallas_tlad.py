@@ -175,6 +175,63 @@ def test_checkpoint_reuse_adjoint_matches(state):
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
+@pytest.mark.parametrize("chunk", [2, 3])
+def test_chunked_levels_match_single(state, chunk):
+    """C-level chunked grid steps (``chunk_levels``) reproduce the
+    single-level schedule exactly — same per-level math, fewer/larger
+    DMA windows; the partial final chunk (nlev not divisible by C)
+    exercises the carry masking and Pallas OOB write dropping."""
+    from cloudsc2jax.pallas.tlad_kernel import fold_flux_seeds
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    params = st.params
+    blk = st.device_kernel_inputs(256, dtype=np.float32, blocked_sublanes=1)
+
+    def close(got, want, what, rtol=1e-5):
+        # same math, different compiled programs: XLA:CPU's FMA
+        # contraction differs at the last ulp between the two bodies
+        # (as in test_dist's decomposition-invariance caveat)
+        for i, (a, b) in enumerate(zip(jax.tree.leaves(got),
+                                       jax.tree.leaves(want))):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-30)
+            assert np.abs(a - b).max() / scale < rtol, (what, i)
+
+    out1, dout1, ck1 = cloudsc2_pallas_tl(
+        blk, None, params, lregcl=True, blocked=True, save_checkpoints=True,
+        dscale=0.01, interpret=True,
+    )
+    outC, doutC, ckC = cloudsc2_pallas_tl(
+        blk, None, params, lregcl=True, blocked=True, save_checkpoints=True,
+        dscale=0.01, chunk_levels=chunk, interpret=True,
+    )
+    close((outC, doutC, ckC), (out1, dout1, ck1), "tl")
+
+    # AD variants fed IDENTICAL seeds + checkpoints (isolates the reverse
+    # kernels; comparing through each variant's own TL output would just
+    # re-measure the TL ulp noise amplified by the (1+L²) seed fold)
+    seeds = fold_flux_seeds(dout1, params)
+    _, adj1 = cloudsc2_pallas_ad(
+        blk, seeds, params, lregcl=True, blocked=True, checkpoints=ck1,
+        interpret=True,
+    )
+    _, adjC = cloudsc2_pallas_ad(
+        blk, seeds, params, lregcl=True, blocked=True, checkpoints=ck1,
+        chunk_levels=chunk, interpret=True,
+    )
+    close(adjC, adj1, "ckpt-reuse")
+    # internal-forward-sweep path too (no external checkpoints)
+    _, adj1f = cloudsc2_pallas_ad(
+        blk, seeds, params, lregcl=True, blocked=True, interpret=True
+    )
+    _, adjCf = cloudsc2_pallas_ad(
+        blk, seeds, params, lregcl=True, blocked=True,
+        chunk_levels=chunk, interpret=True,
+    )
+    close(adjCf, adj1f, "internal-fwd")
+
+
 def test_fold_seeds_in_kernel_matches_external(state):
     """The production work unit's in-kernel flux-seed fold
     (``fold_seeds=True``, drivers._tlad_step) equals the external
