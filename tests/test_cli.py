@@ -115,3 +115,35 @@ def test_cli_nl_pallas_off_tpu_interprets(tmp_path):
               "--input", str(tiny), "--no-validate"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Pallas interpret mode" in r.stderr
+
+
+def test_adjoint_identity_helper_both_contracts():
+    """cli._adjoint_identity computes the work-unit identity on BOTH
+    tangent contracts: the standard 10-field Cloudsc2Outputs (f64 XLA
+    path) and the blocked 8-stream contract, whose rfln/sfln norms must
+    carry the (1+L²) weights the dscale work unit folds out of the
+    streams (fold_flux_seeds) — an unweighted blocked norm would break
+    <Mdx,Mdx> = <dx,M^TMdx>."""
+    import jax
+    import numpy as np
+
+    from cloudsc2jax.cli import _adjoint_identity
+    from cloudsc2jax.drivers import run_tlad
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=17)
+
+    # standard contract, f64 XLA backend
+    inputs = st.kernel_inputs(dtype=np.float64)
+    _, dout, adj = run_tlad(inputs, st.params, lregcl=True, backend="xla")
+    rel, finite = _adjoint_identity(jax, st, inputs, dout, adj)
+    assert finite and rel < 1e-10, rel
+
+    # blocked 8-stream contract (dscale work unit), f32 interpret
+    blk = st.device_kernel_inputs(256, dtype=np.float32,
+                                  blocked_sublanes=1)
+    _, doutb, adjb = run_tlad(blk, st.params, lregcl=True,
+                              backend="pallas_blocked", interpret=True)
+    assert hasattr(doutb, "rfln")  # the weighted branch is exercised
+    relb, finiteb = _adjoint_identity(jax, st, blk, doutb, adjb)
+    assert finiteb and relb < 1e-2, relb
