@@ -68,6 +68,16 @@ N_LEVEL_FIELDS = len(_LEVEL_FIELDS)  # + plu(k+1), paph(k), paph(k+1)
 N_OUTPUTS = 8  # tent, tenq, tenl, teni, pclc, pcov, rfln, sfln
 
 
+def _vmem_kw(vmem_limit_bytes):
+    """pallas_call kwargs raising Mosaic's scoped-VMEM budget (the
+    default ~16 MB rejects S=128 blocks for the TL/AD kernels; v5e
+    carries 128 MB of physical VMEM)."""
+    if vmem_limit_bytes is None:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=int(vmem_limit_bytes))}
+
+
 def _level_physics(
     params: Params, ldrain1d: bool, scalars, fields, cols, carry,
     lregcl: bool = False,
@@ -897,6 +907,7 @@ def cloudsc2_pallas(
     levels_major: bool = False,
     blocked: bool = False,
     fuse_satur: bool = False,
+    vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ) -> Cloudsc2Outputs:
     """Fused-kernel CLOUDSC2; drop-in for :func:`cloudsc2` (f32 path).
@@ -1009,6 +1020,7 @@ def cloudsc2_pallas(
         scratch_shapes=scratch,
         cost_estimate=cost,
         interpret=interpret,
+        **_vmem_kw(vmem_limit_bytes),
     )(*lay.scalar_args(), *operands)
 
     if blocked:

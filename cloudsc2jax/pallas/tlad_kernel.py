@@ -66,6 +66,7 @@ from .cloudsc2_kernel import (
     _LEVEL_FIELDS,
     _Layout,
     _level_physics,
+    _vmem_kw,
 )
 
 __all__ = ["cloudsc2_pallas_tl", "cloudsc2_pallas_ad", "fold_flux_seeds"]
@@ -249,6 +250,7 @@ def cloudsc2_pallas_tl(
     save_checkpoints: bool = False,
     dscale=None,
     chunk_levels: int = 1,
+    vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Outputs]:
     """Fused-kernel tangent-linear CLOUDSC2: returns (outputs, d_outputs).
@@ -342,6 +344,7 @@ def cloudsc2_pallas_tl(
         scratch_shapes=lay.scratch(6),
         cost_estimate=cost,
         interpret=interpret,
+        **_vmem_kw(vmem_limit_bytes),
     )(*lay.scalar_args(), *operands)
     if blocked:
         out_b = Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS])
@@ -352,6 +355,216 @@ def cloudsc2_pallas_tl(
     out = _assemble_outputs(lay, params, outs[:N_OUTPUTS], levels_major)
     d_out = _assemble_outputs(lay, params, outs[N_OUTPUTS:], levels_major)
     return out, d_out
+
+
+# ---------------------------------------------------------- fused TL+AD
+def _fused_tlad_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
+                       nlev: int, dscale: float, seed_scales):
+    """ONE grid ``(nb, 2*nlev)``: steps ``k < nlev`` run the TL sweep
+    ascending, steps ``k >= nlev`` the adjoint sweep descending — per
+    column block, so the reverse phase starts right after its forward
+    phase and every cross-phase quantity stays ON CHIP:
+
+    * the 3 primal carry checkpoints live in ``(nlev, 3, S, 128)`` VMEM
+      scratch (they never touch HBM — the two-kernel path streams them
+      out and back, cloudsc2ad.F90's (KLON,KLEV) stores);
+    * the 8 tangent output streams are ALSO kept resident in
+      ``(nlev, 8, S, 128)`` scratch as they are produced, so the
+      reverse phase reads its seeds from VMEM instead of re-fetching
+      the dout streams from HBM (they still stream out once, the
+      work-unit contract).
+
+    Net vs the two-kernel work unit: 14 HBM stream-sweeps deleted
+    (3 ckpt writes + 3 ckpt reads + 8 seed reads) with NO extra
+    compute.  Requires ``vmem_limit_bytes`` ≳ 64 MB at S=64 (the two
+    resident planes alone are 11*nlev*S*128*4 B ≈ 49 MB).
+
+    **MEASURED NEGATIVE RESULT (v5e, round 2)** — kept as the recorded
+    experiment, not wired into any driver.  164k cols, chained
+    methodology, same-day two-kernel baseline 21.4-21.8 ms: this
+    variant 25.3 ms at S=64; a first cut that instead REBUILT the
+    tangent in the reverse phase with ``jax.linearize`` (no dout plane,
+    +0.5 body evaluations) 25.5 ms, S=32 28.8 ms.  Deleting 17% of the
+    HBM bytes LOSES 18%: the per-level dynamic VMEM scratch indexing
+    (``ckpt_p[kk]``) defeats Mosaic's cross-step pipelining, the same
+    mechanism that sank the round-1 resident-mode NL kernel.  On this
+    compiler generation the revolving-window streaming schedule beats
+    every VMEM-residency trade.
+
+    Output-window discipline: ``out``/``dout`` belong to the TL phase —
+    during the reverse phase their index maps PIN to the last-written
+    block (no index change → no writeback, the stale-flush trap);
+    the 17 adjoint streams pin to block nlev-1 during the TL phase and
+    are written descending by the reverse phase.  ``dpaphsfc``
+    accumulates in its (b)-mapped window exactly as in ``_rev_kernel``.
+    """
+    ceta_ref, zscalm_ref, notlast_ref, *rest = refs
+    lev_refs, rest = rest[:_NF], rest[_NF:]
+    ztrpaus_ref, paphsfc_ref = rest[:2]
+    rest = rest[2:]
+    out_refs = rest[:2 * N_OUTPUTS]
+    dout_refs = rest[2 * N_OUTPUTS : 2 * N_OUTPUTS + _NF]
+    dpaphsfc_ref = rest[2 * N_OUTPUTS + _NF]
+    scr = rest[2 * N_OUTPUTS + _NF + 1 :]
+    (rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s,
+     arfl_s, asfl_s, acov_s, ckpt_p, dout_vmem) = scr
+
+    k = pl.program_id(1)
+    tl_phase = k < nlev
+    kk = jnp.where(tl_phase, k, 2 * nlev - 1 - k)
+
+    @pl.when(k == 0)
+    def _init_tl():
+        for s in (rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s):
+            s[...] = jnp.zeros_like(s)
+
+    @pl.when(k == nlev)
+    def _init_rev():
+        for s in (arfl_s, asfl_s, acov_s):
+            s[...] = jnp.zeros_like(s)
+        dpaphsfc_ref[0] = jnp.zeros_like(dpaphsfc_ref[0])
+
+    scalars = (ceta_ref[kk, 0], zscalm_ref[kk, 0], notlast_ref[kk, 0] > 0)
+    fields = tuple(r[0, 0] for r in lev_refs)
+    ztrpaus = ztrpaus_ref[0]
+    cols = (ztrpaus, paphsfc_ref[0])
+    dfields = tuple(dscale * x for x in fields)
+    dcols = (jnp.zeros_like(ztrpaus), dscale * paphsfc_ref[0])
+
+    def f(fl, co, ca):
+        return _level_physics(params, ldrain1d, scalars, fl, co, ca,
+                              lregcl=lregcl)
+
+    @pl.when(tl_phase)
+    def _tl():
+        carry = (rfl_s[...], sfl_s[...], cov_s[...])
+        dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
+        ckpt_p[kk] = jnp.stack(carry)
+        (outs, newc), (douts, dnewc) = jax.jvp(
+            f, (fields, cols, carry), (dfields, dcols, dcarry)
+        )
+        for r, v in zip(out_refs[:N_OUTPUTS], outs):
+            r[0, 0] = v
+        for r, v in zip(out_refs[N_OUTPUTS:], douts):
+            r[0, 0] = v
+        dout_vmem[kk] = jnp.stack(douts)
+        rfl_s[...], sfl_s[...], cov_s[...] = newc
+        drfl_s[...], dsfl_s[...], dcov_s[...] = dnewc
+
+    @pl.when(jnp.logical_not(tl_phase))
+    def _rev():
+        carry_in = tuple(ckpt_p[kk])
+        _, vjp_fn = jax.vjp(f, fields, cols, carry_in)
+        douts = tuple(dout_vmem[kk])
+        srfl, ssfl = seed_scales
+        seeds = douts[:6] + (douts[6] * srfl, douts[7] * ssfl)
+        dcarry = (arfl_s[...], asfl_s[...], acov_s[...])
+        dflds, dcls, dcarry_in = vjp_fn((seeds, dcarry))
+        for r, v in zip(dout_refs, dflds):
+            r[0, 0] = v
+        arfl_s[...], asfl_s[...], acov_s[...] = dcarry_in
+        # d_ztrpaus is exactly zero through the stop-gradient masked max
+        dpaphsfc_ref[0] = dpaphsfc_ref[0] + dcls[1]
+
+
+def cloudsc2_pallas_tlad_fused(
+    inputs: Cloudsc2Inputs,
+    params: Params,
+    *,
+    lregcl: bool = True,
+    ldrain1d: bool = False,
+    sublanes: int = 64,
+    dscale: float = 0.01,
+    vmem_limit_bytes: int | None = 100 * 1024 * 1024,
+    interpret: bool = False,
+):
+    """Single-kernel fused NL+TL+AD work unit (blocked layout only).
+
+    Returns ``(out, dout, adj)`` with the same contracts as the
+    two-kernel ``run_tlad`` pallas_blocked path (``Cloudsc2BlockedOutputs``
+    twice + blocked input adjoints); see :func:`_fused_tlad_kernel` for
+    the schedule and its HBM byte diet."""
+    if not (bool(params.yrephli.lphylin) or ldrain1d):
+        raise NotImplementedError(
+            "the fused TL+AD kernel implements LPHYLIN=True only"
+        )
+    lay = _Layout(inputs, params, sublanes, False, blocked=True)
+    nlev = lay.nlev
+    _, _, _, col_s, smem_s = lay.specs(rev=False)
+    blk = (1, 1, lay.sublanes, 128)
+    mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+
+    def w(im):  # two-phase index maps; kk = physical level of step k
+        return mk(lambda b, k: im(b, jnp.where(k < nlev, k, 2 * nlev - 1 - k)))
+
+    lev_s = w(lambda b, kk: (kk, b, 0, 0))
+    plu_s = w(lambda b, kk: (jnp.minimum(kk + 1, nlev - 1), b, 0, 0))
+    hi_s = w(lambda b, kk: (kk + 1, b, 0, 0))
+    # TL-owned outputs: pin to the last-written block during the reverse
+    # phase (constant index -> no writeback of the stale window)
+    tl_out_s = mk(lambda b, k: (jnp.minimum(k, nlev - 1), b, 0, 0))
+    # adjoint outputs: pin to the reverse phase's first block during TL
+    rev_out_s = mk(
+        lambda b, k: (jnp.where(k < nlev, nlev - 1, 2 * nlev - 1 - k),
+                      b, 0, 0)
+    )
+
+    in_specs = (
+        [smem_s] * 3
+        + [lev_s] * N_LEVEL_FIELDS + [plu_s, lev_s, hi_s]
+        + [col_s] * 2
+    )
+    kernel = functools.partial(
+        _fused_tlad_kernel, params=params, ldrain1d=ldrain1d,
+        lregcl=lregcl, nlev=nlev, dscale=float(dscale),
+        seed_scales=(1.0 + float(params.yomcst.rlvtt) ** 2,
+                     1.0 + float(params.yomcst.rlstt) ** 2),
+    )
+    cost = pl.CostEstimate(
+        flops=(2 + 3) * 292 * nlev * lay.nb * lay.bc,
+        bytes_accessed=(2 * _NF + 2 * N_OUTPUTS + _NF + 1)
+        * nlev * lay.nb * lay.bc * lay.dtype.itemsize,
+        transcendentals=2 * 2 * 10 * nlev * lay.nb * lay.bc,
+    )
+    scratch = lay.scratch(9) + [
+        pltpu.VMEM((nlev, 3, lay.sublanes, 128), lay.dtype),
+        pltpu.VMEM((nlev, N_OUTPUTS, lay.sublanes, 128), lay.dtype),
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(lay.nb, 2 * nlev),
+        in_specs=in_specs,
+        out_specs=[tl_out_s] * (2 * N_OUTPUTS) + [rev_out_s] * _NF
+        + [col_s],
+        out_shape=[lay.out_shape()] * (2 * N_OUTPUTS + _NF)
+        + [lay.col_shape()],
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        interpret=interpret,
+        **_vmem_kw(vmem_limit_bytes),
+    )(*lay.scalar_args(), *lay.level_operands(lay.arrs),
+      lay.ztrpaus_b, lay.paphsfc_b)
+
+    out_b = Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS])
+    dout_b = Cloudsc2BlockedOutputs(*outs[N_OUTPUTS : 2 * N_OUTPUTS])
+    rev = outs[2 * N_OUTPUTS :]
+    dlev = list(rev[:_NF])
+    d_plu_k1, d_paph_lo, d_paph_hi = dlev[N_LEVEL_FIELDS:]
+    dpaphsfc = rev[_NF]
+    zrow = jnp.zeros((1,) + d_plu_k1.shape[1:], lay.dtype)
+    d = dict(zip(_LEVEL_FIELDS, dlev[:N_LEVEL_FIELDS]))
+    d["plu"] = jnp.concatenate([zrow, d_plu_k1[:-1]], axis=0)
+    d["paph"] = (
+        jnp.concatenate([d_paph_lo, zrow], axis=0)
+        + jnp.concatenate([zrow, d_paph_hi], axis=0)
+    ).at[nlev].add(dpaphsfc)
+    d_in = Cloudsc2Inputs(
+        paph=d["paph"], pap=d["pap"], pq=d["pq"], pqs=d["pqs"], pt=d["pt"],
+        pl=d["pl"], pi=d["pi"], plude=d["plude"], plu=d["plu"],
+        pmfu=d["pmfu"], pmfd=d["pmfd"], ten_t=d["ten_t"], ten_q=d["ten_q"],
+        ten_l=d["ten_l"], ten_i=d["ten_i"], psupsat=d["psupsat"],
+    )
+    return out_b, dout_b, d_in
 
 
 # ------------------------------------------------------------------ AD
@@ -495,6 +708,7 @@ def cloudsc2_pallas_ad(
     checkpoints=None,
     fold_seeds: bool = False,
     chunk_levels: int = 1,
+    vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Inputs]:
     """Fused-kernel adjoint CLOUDSC2: returns (outputs, input_adjoints).
@@ -561,6 +775,7 @@ def cloudsc2_pallas_ad(
                 transcendentals=10 * lay.nlev * lay.nb * lay.bc,
             ),
             interpret=interpret,
+            **_vmem_kw(vmem_limit_bytes),
         )(*lay.scalar_args(), *operands, lay.ztrpaus_b, lay.paphsfc_b)
         outs, ckpts = fwd[:N_OUTPUTS], fwd[N_OUTPUTS:]
 
@@ -592,6 +807,7 @@ def cloudsc2_pallas_ad(
             transcendentals=2 * 10 * lay.nlev * lay.nb * lay.bc,
         ),
         interpret=interpret,
+        **_vmem_kw(vmem_limit_bytes),
     )(*lay.scalar_args(), *operands, *ckpts, *seeds,
       lay.ztrpaus_b, lay.paphsfc_b)
 

@@ -232,6 +232,39 @@ def test_chunked_levels_match_single(state, chunk):
     close(adjCf, adj1f, "internal-fwd")
 
 
+def test_fused_single_kernel_matches_two_kernel(state):
+    """The single-call fused TL+AD work unit (VMEM-resident primal AND
+    tangent checkpoints, linearize-recomputed seeds, pinned output
+    windows) reproduces the two-kernel dscale work unit on every
+    contract leaf."""
+    from cloudsc2jax.pallas.tlad_kernel import cloudsc2_pallas_tlad_fused
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    params = st.params
+    blk = st.device_kernel_inputs(256, dtype=np.float32, blocked_sublanes=1)
+
+    out1, dout1, ck1 = cloudsc2_pallas_tl(
+        blk, None, params, lregcl=True, blocked=True, save_checkpoints=True,
+        dscale=0.01, interpret=True,
+    )
+    _, adj1 = cloudsc2_pallas_ad(
+        blk, dout1, params, lregcl=True, blocked=True, checkpoints=ck1,
+        fold_seeds=True, interpret=True,
+    )
+    outF, doutF, adjF = cloudsc2_pallas_tlad_fused(
+        blk, params, lregcl=True, interpret=True
+    )
+    # the fused kernel runs its OWN TL pass, so last-ulp FMA-contraction
+    # differences between the two compiled bodies propagate through the
+    # (1+L²) seed fold and the reverse sweep (~1e-5 on the plu adjoint)
+    for i, (a, b) in enumerate(zip(jax.tree.leaves((outF, doutF, adjF)),
+                                   jax.tree.leaves((out1, dout1, adj1)))):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-4, i
+
+
 def test_fold_seeds_in_kernel_matches_external(state):
     """The production work unit's in-kernel flux-seed fold
     (``fold_seeds=True``, drivers._tlad_step) equals the external
