@@ -349,7 +349,11 @@ def taylor_test(
     eps = float(jnp.finfo(jnp.asarray(base.tenl_t).dtype).eps)
 
     @jax.jit
-    def norms_for(lam):
+    def norms_for(lam, inputs, d_inputs, base, d_out):
+        # the arrays enter as ARGUMENTS, never as closure constants —
+        # jit would embed a captured jax.Array by fetching its value,
+        # which is impossible for multi-process sharded (non-
+        # addressable) inputs
         pert_in = jax.tree.map(lambda x, dx: x + lam * dx, inputs, d_inputs)
         pert = f(pert_in)
         znorm = 0.0
@@ -367,7 +371,10 @@ def taylor_test(
         ratio = jnp.where(any_active, znorm / jnp.where(any_active, zcount, 1.0), 0.0)
         return jnp.max(ratio)
 
-    norms = np.array([float(norms_for(10.0 ** -(i + 1))) for i in range(10)])
+    norms = np.array([
+        float(norms_for(10.0 ** -(i + 1), inputs, d_inputs, base, d_out))
+        for i in range(10)
+    ])
 
     # evaluation (cloudsc_driver_tl_mod.F90:272-311)
     err = np.abs(1.0 - norms)

@@ -317,6 +317,24 @@ def test_cli_two_process_nl_validates(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_two_process_tl(tmp_path):
+    """The Taylor test under 2 processes (completes the nl/tl/ad/tlad
+    multi-process variant matrix): jitted collective norms, verdict and
+    perf table on rank 0 only."""
+    tiny = _tiny_input(tmp_path)
+    outs = _spawn_cli_pair([
+        "tl", "4", "104", "52", "--dtype", "f64", "--input", str(tiny),
+        "--no-validate",
+    ])
+    for pid, (rc, _, err_s) in enumerate(outs):
+        assert rc == 0, f"tl proc {pid} failed:\n{err_s[-3000:]}"
+    err0, err1 = outs[0][2], outs[1][2]
+    assert "TEST PASSED" in err0
+    assert "TEST PASSED" not in err1  # rank-0-only verdict
+    assert "TOTAL @ rank#1" in err0 and "TOTAL @" not in err1
+
+
+@pytest.mark.slow
 def test_cli_two_process_ad(tmp_path):
     """The adjoint symmetry test under 2 processes: the per-column error
     reduces on device (no non-addressable fetch), verdict on rank 0."""
