@@ -189,7 +189,8 @@ def main(argv=None):
 
 def _adjoint_identity(jax, state, inputs, dout, adj):
     """Adjoint identity ⟨Mδx,Mδx⟩ vs ⟨δx,MᵀMδx⟩ with the canonical
-    δx = 0.01·x (cloudsc_driver_ad_mod.F90:184-264).
+    δx = DSCALE·x (cloudsc_driver_ad_mod.F90:184-264) — the SAME scale
+    the work unit perturbed with (drivers.DSCALE).
 
     Per-leaf partial sums run on device under jit (collective on sharded
     arrays — no leaf ever fetched, multi-process safe); the FINAL
@@ -205,6 +206,8 @@ def _adjoint_identity(jax, state, inputs, dout, adj):
     norm.  Returns ``(rel_err, finite)``.
     """
     import jax.numpy as jnp
+
+    from .drivers import DSCALE as _DSCALE
 
     @jax.jit
     def parts(i, d, a):
@@ -223,7 +226,7 @@ def _adjoint_identity(jax, state, inputs, dout, adj):
                 [jnp.sum(jnp.square(x)) for x in jax.tree.leaves(d)]
             )
         p2 = jnp.stack([
-            jnp.sum(0.01 * x * ax)
+            jnp.sum(_DSCALE * x * ax)
             for x, ax in zip(jax.tree.leaves(i), jax.tree.leaves(a))
         ])
         fin = jnp.all(jnp.stack([
@@ -254,7 +257,7 @@ def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl,
     """
     import jax.numpy as jnp
 
-    from .drivers import run_tlad
+    from .drivers import DSCALE as _DSCALE, run_tlad
     from .tlad import cloudsc2_tl
 
     interpret = jax.devices()[0].platform != "tpu"
@@ -269,7 +272,7 @@ def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl,
     if variant == "tl":
         @jax.jit
         def parity(i, dp):
-            di = jax.tree.map(lambda x: 0.01 * x, i)
+            di = jax.tree.map(lambda x: _DSCALE * x, i)
             _, dref = cloudsc2_tl(i, di, state.params, lregcl=lregcl)
             rels = [
                 jnp.max(jnp.abs(a - b))

@@ -26,7 +26,13 @@ from .physics.cloudsc2 import Cloudsc2Inputs, Cloudsc2Outputs, cloudsc2
 from .state import Cloudsc2State
 from .tlad import cloudsc2_tl, cloudsc2_vjp
 
+# the drivers' canonical perturbation scale, dx = DSCALE*x
+# (cloudsc_driver_{tl,ad}_mod.F90:156-171) — every work-unit increment
+# and the CLI's adjoint-identity <dx, M^T M dx> must use the SAME value
+DSCALE = 0.01
+
 __all__ = [
+    "DSCALE",
     "run_nl",
     "TaylorResult",
     "taylor_test",
@@ -242,7 +248,7 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes,
                 out, dout, ckpts = cloudsc2_pallas_tl(
                     i, None, params, lregcl=lregcl, ldrain1d=ldrain1d,
                     sublanes=sublanes, blocked=True, save_checkpoints=True,
-                    dscale=0.01, interpret=interpret,
+                    dscale=DSCALE, interpret=interpret,
                 )
                 _, adj = cloudsc2_pallas_ad(
                     i, dout, params, lregcl=lregcl,
@@ -250,7 +256,7 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes,
                     checkpoints=ckpts, fold_seeds=True, interpret=interpret,
                 )
                 return out, dout, adj
-            di = jax.tree.map(lambda x: 0.01 * x, i)
+            di = jax.tree.map(lambda x: DSCALE * x, i)
             out, dout = cloudsc2_pallas_tl(
                 i, di, params, lregcl=lregcl, ldrain1d=ldrain1d,
                 sublanes=sublanes, interpret=interpret,
@@ -269,7 +275,7 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes,
     )
 
     def step(i):
-        di = jax.tree.map(lambda x: 0.01 * x, i)
+        di = jax.tree.map(lambda x: DSCALE * x, i)
         out, dout = jax.jvp(f, (i,), (di,))
         _, vjp_fn = jax.vjp(f, i)
         (adj,) = vjp_fn(dout)
@@ -306,7 +312,7 @@ def _perturbations(inputs: Cloudsc2Inputs, zero_supsat: bool) -> Cloudsc2Inputs:
     """The drivers' canonical increments: 0.01·x for all 16 inputs
     (cloudsc_driver_tl_mod.F90:156-171); the AD driver zeroes the obsolete
     supersaturation perturbation (cloudsc_driver_ad_mod.F90:139)."""
-    d = Cloudsc2Inputs(*(0.01 * jnp.asarray(x) for x in inputs))
+    d = Cloudsc2Inputs(*(DSCALE * jnp.asarray(x) for x in inputs))
     if zero_supsat:
         d = d._replace(psupsat=jnp.zeros_like(d.psupsat))
     return d

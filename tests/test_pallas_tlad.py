@@ -233,9 +233,9 @@ def test_chunked_levels_match_single(state, chunk):
 
 
 def test_fused_single_kernel_matches_two_kernel(state):
-    """The single-call fused TL+AD work unit (VMEM-resident primal AND
-    tangent checkpoints, linearize-recomputed seeds, pinned output
-    windows) reproduces the two-kernel dscale work unit on every
+    """The single-call fused TL+AD work unit (primal carry checkpoints
+    AND the 8 tangent output streams resident in VMEM scratch, pinned
+    output windows) reproduces the two-kernel dscale work unit on every
     contract leaf."""
     from cloudsc2jax.pallas.tlad_kernel import cloudsc2_pallas_tlad_fused
     from cloudsc2jax.state import Cloudsc2State
