@@ -6,12 +6,17 @@ from .cloudsc2_kernel import (
     encode_blocked_inputs,
     unblock_outputs,
 )
-from .tlad_kernel import cloudsc2_pallas_ad, cloudsc2_pallas_tl
+from .tlad_kernel import (
+    cloudsc2_pallas_ad,
+    cloudsc2_pallas_tl,
+    cloudsc2_pallas_tlad_fused,
+)
 
 __all__ = [
     "cloudsc2_pallas",
     "cloudsc2_pallas_tl",
     "cloudsc2_pallas_ad",
+    "cloudsc2_pallas_tlad_fused",
     "cloudsc2_pallas_encoded",
     "encode_blocked_inputs",
     "EncodedInputs",

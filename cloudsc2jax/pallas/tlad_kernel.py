@@ -37,6 +37,10 @@ reference's:
   body from the raw fields + carry checkpoint, and transposes it with
   ``jax.vjp``; the adjoint carry lives in VMEM scratch.
 
+:func:`cloudsc2_pallas_tlad_fused` is the single-call fusion of both
+sweeps with VMEM-resident checkpoints — a measured negative result on
+v5e, kept as the recorded experiment (see its docstring / DESIGN.md §8).
+
 LREGCL regularisations enter through the shared level body (identity on
 the primal, tangent/adjoint rescale via ``ops.damp_tangent``), so
 ``lregcl=True`` reproduces the reference AD configuration
@@ -69,7 +73,12 @@ from .cloudsc2_kernel import (
     _vmem_kw,
 )
 
-__all__ = ["cloudsc2_pallas_tl", "cloudsc2_pallas_ad", "fold_flux_seeds"]
+__all__ = [
+    "cloudsc2_pallas_tl",
+    "cloudsc2_pallas_ad",
+    "cloudsc2_pallas_tlad_fused",
+    "fold_flux_seeds",
+]
 
 
 def fold_flux_seeds(d_out: Cloudsc2BlockedOutputs, params: Params):
