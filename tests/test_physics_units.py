@@ -449,3 +449,50 @@ def test_nl_physical_invariants_across_states():
         # the precip-fraction diagnostic becomes non-trivial
         out_r = run_nl(inputs, st.params, ldrain1d=True)
         assert np.asarray(out_r.pcovptot).max() > 0.0
+
+
+def test_nl_lphylin_false_branch():
+    """LPHYLIN=False drives the full (non-linearized) dqs/dT and
+    critical-moisture branches of the kernel (cloudsc2.F90:367-408,
+    else-arms of the ZLCRIT selections) — the reference entry programs
+    force LPHYLIN=.TRUE. (dwarf_cloudsc.F90:107) so only the pure-JAX
+    path carries this configuration (the Pallas wrappers refuse it).
+    Checks the same physical invariants, that the branch genuinely
+    changes the result, and that the derived TL/AD stay mutually
+    adjoint through it."""
+    import dataclasses
+
+    import jax
+
+    from cloudsc2jax.drivers import run_nl
+    from cloudsc2jax.physics.cloudsc2 import cloudsc2
+    from cloudsc2jax.state import Cloudsc2State
+    from functools import partial
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=25, seed=3)
+    inputs = st.kernel_inputs()
+    p_nl = dataclasses.replace(
+        st.params,
+        yrephli=dataclasses.replace(st.params.yrephli, lphylin=False),
+    )
+    out = run_nl(inputs, p_nl)
+    for name, v in out._asdict().items():
+        assert np.isfinite(np.asarray(v)).all(), name
+    pclc = np.asarray(out.pclc)
+    assert pclc.min() >= 0.0 and pclc.max() <= 1.0
+    # the branch must actually change the physics vs LPHYLIN=True
+    out_lin = run_nl(inputs, st.params)
+    assert np.abs(np.asarray(out.tenl_t) - np.asarray(out_lin.tenl_t)).max() > 0
+
+    # adjoint identity through the derived TL/AD on this branch
+    f = partial(cloudsc2, params=p_nl, lregcl=False)
+    di = jax.tree.map(lambda x: 0.01 * jnp.asarray(x), inputs)
+    _, dout = jax.jit(lambda i, d: jax.jvp(f, (i,), (d,)))(inputs, di)
+    _, vjp_fn = jax.vjp(f, inputs)
+    (adj,) = vjp_fn(dout)
+    n1 = sum(float(np.sum(np.asarray(y) ** 2)) for y in dout)
+    n2 = sum(
+        float(np.sum(np.asarray(a) * np.asarray(b)))
+        for a, b in zip(jax.tree.leaves(di), jax.tree.leaves(adj))
+    )
+    assert abs(n1 - n2) / max(abs(n2), 1e-300) < 1e-12
