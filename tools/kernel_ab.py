@@ -1,0 +1,129 @@
+"""A/B harness for the TL/AD kernel scheduling experiments (DESIGN.md §8).
+
+Reproduces, on the real chip, the measured comparisons behind the
+round-2 scheduling conclusions:
+
+    python tools/kernel_ab.py two:64 two:128 chunk:64:2 chunk:32:4 fused:64
+
+Config syntax (one timing line each, chained-accumulator methodology):
+
+- ``two:<S>``      — the production two-kernel dscale work unit
+                     (TL with checkpoint streams + reverse-only adjoint)
+                     at sublanes S; S>64 needs the raised VMEM budget,
+                     applied automatically.
+- ``chunk:<S>:<C>``— same, with C-level grid chunks (chunk_levels=C).
+- ``fused:<S>``    — the single-call fused kernel with VMEM-resident
+                     checkpoints+seeds (cloudsc2_pallas_tlad_fused).
+
+Measured results are environment-sensitive (±10% tunnel variance) —
+compare configs from the SAME invocation only.  Round-2 reference
+numbers (163 840 cols, v5e): two:64 21.8 ms, two:128 21.4, chunk:64:2
+22.3, chunk:32:4 21.6, fused:64 25.3 — i.e. every alternative is a
+null or a loss; see DESIGN.md §8.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+NGPTOT = int(os.environ.get("CLOUDSC2_AB_NGPTOT", 163840))
+REPS = int(os.environ.get("CLOUDSC2_AB_REPS", 8))
+VMEM = 100 * 1024 * 1024
+
+
+def _step_fn(cfg, params):
+    from cloudsc2jax.pallas.tlad_kernel import (
+        cloudsc2_pallas_ad,
+        cloudsc2_pallas_tl,
+        cloudsc2_pallas_tlad_fused,
+    )
+
+    kind, *args = cfg.split(":")
+    S = int(args[0])
+    C = int(args[1]) if len(args) > 1 else 1
+    vl = VMEM if (kind == "fused" or S > 64 or S * C > 64) else None
+
+    def work(i):
+        if kind == "fused":
+            return cloudsc2_pallas_tlad_fused(i, params, lregcl=True,
+                                              sublanes=S)
+        out, dout, ckpts = cloudsc2_pallas_tl(
+            i, None, params, lregcl=True, sublanes=S, blocked=True,
+            save_checkpoints=True, dscale=0.01, chunk_levels=C,
+            vmem_limit_bytes=vl,
+        )
+        _, adj = cloudsc2_pallas_ad(
+            i, dout, params, lregcl=True, sublanes=S, blocked=True,
+            checkpoints=ckpts, fold_seeds=True, chunk_levels=C,
+            vmem_limit_bytes=vl,
+        )
+        return out, dout, adj
+
+    def scalar_step(v):
+        out = work(v)
+        adj = out[2]
+        # force the XLA shift-scatter assembly fully; slice-probe the
+        # opaque pallas outputs (bench.py methodology)
+        extra = (jnp.sum(adj.paph.astype(jnp.float32))
+                 + jnp.sum(adj.plu.astype(jnp.float32)))
+        return extra + sum(
+            jnp.sum(jnp.ravel(o)[:2]) for o in jax.tree.leaves(out)
+        )
+
+    return jax.jit(scalar_step), S
+
+
+def main(argv):
+    from cloudsc2jax.state import Cloudsc2State
+
+    assert jax.devices()[0].platform == "tpu", (
+        "run from /root/repo in a TPU-visible shell")
+    configs = argv or ["two:64", "chunk:64:2", "fused:64"]
+    state = Cloudsc2State.synthetic(ngptot=100, nlev=137)
+    rng = np.random.default_rng(time.time_ns())
+    for cfg in configs:
+        try:
+            step, S = _step_fn(cfg, state.params)
+            inputs = state.device_kernel_inputs(
+                NGPTOT, dtype=np.float32, blocked_sublanes=S
+            )
+            variants = [
+                inputs._replace(pt=inputs.pt + np.float32(
+                    1e-6 * rng.uniform(0.5, 1.5) * (i + 1)))
+                for i in range(REPS)
+            ]
+            # throwaway chained warm-up (first chained sequence in a
+            # process runs ~2.5x slow, DESIGN.md §7)
+            acc = jnp.float32(0.0)
+            for v in variants[:4]:
+                acc = acc + step(v)
+            float(acc)
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.0)
+            for v in variants:
+                acc = acc + step(v)
+            float(acc)
+            dt = (time.perf_counter() - t0) / REPS
+            print(f"{cfg}: {dt * 1e3:.2f} ms  "
+                  f"{NGPTOT / dt / 1e6:.2f} M cols/s", flush=True)
+        except Exception as e:  # keep sweeping past VMEM/compile failures
+            print(f"{cfg}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
