@@ -398,7 +398,10 @@ def _fused_tlad_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
     (``ckpt_p[kk]``) defeats Mosaic's cross-step pipelining, the same
     mechanism that sank the round-1 resident-mode NL kernel.  On this
     compiler generation the revolving-window streaming schedule beats
-    every VMEM-residency trade.
+    every VMEM-residency trade.  Numerically the fusion is exact: on
+    chip (compiled, not interpret) the fused outputs match the
+    two-kernel work unit to 0.0 max rel over every contract leaf — the
+    pinned-window discipline holds under real Mosaic flush semantics.
 
     Output-window discipline: ``out``/``dout`` belong to the TL phase —
     during the reverse phase their index maps PIN to the last-written
