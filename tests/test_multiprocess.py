@@ -208,17 +208,18 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert "TOTAL @" not in out1
 
 
-def _spawn_cli_pair(cmd_tail, extra_env=None, timeout=560):
+def _spawn_cli_pair(cmd_tail, extra_env=None, timeout=560, nproc=2,
+                    ndev_per_proc=2):
     port = _free_port()
     env = _mp_env()
     env.update(
-        CLOUDSC2_NUM_PROCESSES="2",
+        CLOUDSC2_NUM_PROCESSES=str(nproc),
         CLOUDSC2_COORDINATOR=f"localhost:{port}",
-        CLOUDSC2_NUM_CPU_DEVICES="2",
+        CLOUDSC2_NUM_CPU_DEVICES=str(ndev_per_proc),
         **(extra_env or {}),
     )
     cmd = [sys.executable, "-m", "cloudsc2jax", *cmd_tail]
-    envs = [dict(env, CLOUDSC2_PROCESS_ID=str(pid)) for pid in (0, 1)]
+    envs = [dict(env, CLOUDSC2_PROCESS_ID=str(pid)) for pid in range(nproc)]
     procs = [
         subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -263,6 +264,31 @@ def test_cli_two_process_nl(tmp_path):
     assert "NUMPROC=" not in err1  # rank-0-only prints
     assert "TOTAL @ rank#0" in err0 and "TOTAL @ rank#1" in err0
     assert "TOTAL @" not in err1
+
+
+@pytest.mark.slow
+def test_cli_four_process_nl_perf_gather(tmp_path):
+    """4-process CLI run: the gathered perf table on rank 0 carries one
+    TOTAL row per rank plus the grand total (≙ the 5-int MPI_GATHER +
+    per-rank/grand-total prints, timer_mod.F90:155-171) — the
+    driver-recorded multichip gate at the same process count the suite
+    exercises."""
+    tiny = _tiny_input(tmp_path)
+    outs = _spawn_cli_pair(
+        ["nl", "4", "104", "26", "--dtype", "f32",
+         "--input", str(tiny), "--no-validate"],
+        nproc=4, ndev_per_proc=1,
+    )
+    for pid, (rc, _, err_s) in enumerate(outs):
+        assert rc == 0, f"CLI proc {pid} failed:\n{err_s[-3000:]}"
+    err0 = outs[0][2]
+    assert "NUMPROC=4" in err0
+    for r in range(4):
+        assert f"TOTAL @ rank#{r}" in err0, f"missing rank {r} row"
+    lastrow = [l for l in err0.splitlines() if l.rstrip().endswith("TOTAL")]
+    assert lastrow and lastrow[0].lstrip().startswith("4proc")
+    for pid in (1, 2, 3):
+        assert "TOTAL @" not in outs[pid][2]  # rank-0-only table
 
 
 @pytest.mark.slow
