@@ -60,6 +60,10 @@ def main():
     variant = os.environ.get("CLOUDSC2_BENCH_VARIANT", "nl")
     platform = jax.devices()[0].platform
 
+    if variant.startswith("chunked"):
+        _bench_chunked(variant, repeats)
+        return
+
     # expand the 100 stored columns to ngptot ON DEVICE: host-side
     # expansion + a GB-scale transfer takes minutes on a slow host CPU /
     # tunnel, device tiling is milliseconds.  Built lazily so the blocked
@@ -206,6 +210,56 @@ def main():
             print(f"bench.py: BASELINE_MEASURED.json unreadable ({e!r}); "
                   "omitting 'baseline' provenance field", file=sys.stderr)
     print(json.dumps(record))
+
+
+def _bench_chunked(variant, repeats):
+    """>HBM streaming benchmark: CLOUDSC2_BENCH_VARIANT=chunked (NL) or
+    chunked_tlad, streaming CLOUDSC2_BENCH_NGPTOT (default 1M+) columns
+    as device-generated chunks over the device mesh (run_chunked's
+    per-device block generation + psum checksum; single-device when the
+    platform exposes one chip).  The chunk pipeline chains through a
+    device accumulator, one host fetch per pass."""
+    import jax
+
+    from cloudsc2jax import dist
+    from cloudsc2jax.drivers import run_chunked
+    from cloudsc2jax.state import Cloudsc2State
+
+    platform = jax.devices()[0].platform
+    inner = "tlad" if variant.endswith("tlad") else "nl"
+    default_n = 1310720 if platform == "tpu" else 2048
+    ngptot = int(os.environ.get("CLOUDSC2_BENCH_NGPTOT", default_n))
+    chunk = int(os.environ.get("CLOUDSC2_BENCH_CHUNK", 327680))
+    interpret = platform != "tpu"
+    sublanes = os.environ.get("CLOUDSC2_BENCH_SUBLANES")
+    sublanes = int(sublanes) if sublanes else (1 if interpret else None)
+    mesh = (dist.column_mesh()
+            if os.environ.get("CLOUDSC2_BENCH_MESH", "1") == "1" else None)
+
+    state = Cloudsc2State.synthetic(ngptot=100, nlev=137 if not interpret
+                                    else 17)
+    kw = dict(variant=inner, chunk=chunk, sublanes=sublanes,
+              interpret=interpret, mesh=mesh)
+    # warm pass compiles the (generation+kernel+psum) step
+    cols, s = run_chunked(state, ngptot, **kw)
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        cols, s = run_chunked(state, ngptot, **kw)
+        assert np.isfinite(s)
+    dt = (time.perf_counter() - t0) / repeats
+
+    cols_per_s = cols / dt
+    baseline = 300_000.0
+    print(json.dumps({
+        "metric": f"{inner}_columns_per_second_chunked_{platform}",
+        "value": round(cols_per_s, 1),
+        "unit": "columns/s/chip",
+        "vs_baseline": round(cols_per_s / baseline, 3),
+        "ngptot": cols,
+        "chunk": chunk,
+        "mesh_devices": 1 if mesh is None else int(mesh.devices.size),
+    }))
 
 
 if __name__ == "__main__":

@@ -487,6 +487,7 @@ def run_chunked(
     sublanes: int = None,
     lregcl: bool = True,
     interpret: bool = False,
+    mesh=None,
 ):
     """Stream batches larger than HBM through the blocked kernels.
 
@@ -505,18 +506,28 @@ def run_chunked(
     throughput accounting).  The checksum covers every output stream of
     the executed columns and is partition-invariant up to f32
     summation-order rounding (chunk boundaries reassociate the sum).
+
+    ``mesh`` shards the chunk pipeline over a column mesh: each device
+    cyclically generates ITS OWN ``nb/ndev`` blocks of the chunk at its
+    global block offset (the per-rank hyperslab semantics of
+    expand_mod.F90:30-46, moved on-device) and runs the kernel on them;
+    the checksum is psum-reduced across the mesh.  Chunks are rounded to
+    whole per-device block multiples, so the same global column range
+    gives the same checksum for any (chunk, mesh) decomposition.
     """
     if sublanes is None:
         sublanes = 128 if variant == "nl" else 64
     bc = sublanes * 128
-    chunk = (chunk // bc) * bc or bc
+    ndev = 1 if mesh is None else int(mesh.devices.size)
+    gc = bc * ndev
+    chunk = (chunk // gc) * gc or gc
     nb = chunk // bc
     key = (id(state), variant, sublanes, nb, np.dtype(dtype).str, lregcl,
-           interpret)
+           interpret, id(mesh))
     hit = _CHUNK_CACHE.get(key)
     if hit is None or hit[0] is not state:
         hit = (state, *_chunk_step(state, variant, sublanes, nb, dtype,
-                                   lregcl, interpret))
+                                   lregcl, interpret, mesh))
         _CHUNK_CACHE[key] = hit
     _, base, step = hit
 
@@ -530,35 +541,66 @@ def run_chunked(
 _CHUNK_CACHE = _LRUCache()
 
 
-def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False):
+def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False,
+                mesh=None):
     from .pallas.cloudsc2_kernel import cloudsc2_pallas
     from .state import blockify_columns
 
     klon = state.klon_file
     params = state.params
-    base = jax.device_put(Cloudsc2Inputs(
+    base_host = Cloudsc2Inputs(
         *(np.asarray(x)[:klon]
           for x in state._kernel_inputs_cm(dtype=dtype))
-    ))
+    )
     if variant != "nl":
         tlad_step = _tlad_step(params, lregcl, False, True, None,
                                "pallas_blocked", sublanes, interpret)
 
-    @jax.jit
-    def step(b, off, s):
-        blk = blockify_columns(b, nb, sublanes, klon, off)
+    def kernel(blk):
         if variant == "nl":
-            out = cloudsc2_pallas(blk, params, blocked=True, fuse_satur=True,
-                                  interpret=interpret)
-        else:
-            out = tlad_step(blk)
+            return cloudsc2_pallas(blk, params, blocked=True, fuse_satur=True,
+                                   interpret=interpret)
+        return tlad_step(blk)
+
+    def checksum(out):
         # partition-invariant checksum: full per-leaf sums over all
         # columns of the chunk (f32 accumulation), so the same global
         # column range gives the same value for any chunk size — and
         # every output stream is forced, including the adjoint paph/plu
         # shift-scatter assembly that a sliced probe would let XLA DCE.
-        return s + sum(
+        return sum(
             jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
         )
 
+    if mesh is None:
+        base = jax.device_put(base_host)
+
+        @jax.jit
+        def step(b, off, s):
+            return s + checksum(kernel(blockify_columns(b, nb, sublanes,
+                                                        klon, off)))
+
+        return base, step
+
+    # Mesh pipeline: the stored columns are replicated (they ARE the
+    # whole input, ≙ expand_mod's all-ranks-read-the-100-columns case);
+    # each device generates its own nb/ndev blocks at its global block
+    # offset and the checksum psum-reduces over the mesh.
+    from . import dist
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = int(mesh.devices.size)
+    nb_local = nb // ndev
+    base = jax.device_put(base_host, NamedSharding(mesh, P()))
+
+    def local_step(b, off, s):
+        r = jax.lax.axis_index(dist.COLS_AXIS)
+        blk = blockify_columns(b, nb_local, sublanes, klon,
+                               off + r * (nb_local * sublanes * 128))
+        return s + jax.lax.psum(checksum(kernel(blk)), dist.COLS_AXIS)
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    ))
     return base, step

@@ -261,6 +261,41 @@ def test_run_chunked_matches_single_shot(state):
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
 
 
+def test_run_chunked_mesh_invariant(mesh):
+    """The >HBM streaming pipeline sharded over the 8-device mesh: each
+    device generates + runs its own blocks (per-rank hyperslab semantics
+    on-device), psum checksum. The same global column range must give the
+    same checksum for ANY (chunk, mesh) decomposition."""
+    from cloudsc2jax.drivers import run_chunked
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=13)
+    n0, s0 = run_chunked(st, 1024, variant="nl", chunk=1024, sublanes=1,
+                         interpret=True)
+    n1, s1 = run_chunked(st, 1024, variant="nl", chunk=1024, sublanes=1,
+                         interpret=True, mesh=mesh)
+    n2, s2 = run_chunked(st, 1024, variant="nl", chunk=512, sublanes=1,
+                         interpret=True, mesh=mesh)
+    assert n0 == n1 == n2 == 1024
+    np.testing.assert_allclose(s1, s0, rtol=1e-5)
+    np.testing.assert_allclose(s2, s0, rtol=1e-5)
+
+
+def test_run_chunked_tlad_mesh_invariant(mesh):
+    """The fused TL+AD work unit streamed across the mesh matches the
+    single-device streamed checksum (1024 columns, two decompositions)."""
+    from cloudsc2jax.drivers import run_chunked
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=9)
+    n0, s0 = run_chunked(st, 1024, variant="tlad", chunk=1024, sublanes=1,
+                         interpret=True)
+    n1, s1 = run_chunked(st, 1024, variant="tlad", chunk=1024, sublanes=1,
+                         interpret=True, mesh=mesh)
+    assert n0 == n1 == 1024
+    np.testing.assert_allclose(s1, s0, rtol=1e-4)
+
+
 def test_run_chunked_tlad_matches_single_shot():
     """The fused TL+AD work unit streamed over device-generated chunks
     (interpret mode now wired through run_tlad's pallas backends)."""
