@@ -1,0 +1,86 @@
+"""Pin the on-TPU emulated-f64 drift (VERDICT r2 item 8).
+
+TPU has no native f64; XLA emulates it (double-double style), and the
+on-chip f64 NL output agrees with CPU f64 only to ~3e-12 relative
+(DESIGN.md §6) — which is why on-chip golden validation runs with
+``--threshold ~1e4`` instead of the strict 10×ε₆₄.  That loosened
+threshold would silently absorb a platform/compiler regression in the
+emulation, so this test pins the drift directly: the same 100-column
+fixture state run in f64 on the chip must stay within DRIFT_TOL of the
+CPU-f64 outputs, field by field.
+
+Guarded: runs only when ``CLOUDSC2_TPU_TESTS=1`` (the TPU is reached
+through the axon tunnel, whose first contact can take minutes and which
+is absent in CI CPU runs).  Drive it from the repo root:
+
+    CLOUDSC2_TPU_TESTS=1 python -m pytest tests/test_tpu_f64_drift.py -q
+
+The TPU subprocess must start with cwd=/root/repo (the axon site hook
+registers the backend only there) and WITHOUT the cpu platform pin the
+test conftest applies to this process — hence the subprocess.
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+# measured ~3e-12 (DESIGN.md §6); 1e-11 leaves ~3x headroom for
+# size/layout spread while still catching any real emulation regression
+# (the next failure mode up is f32-ish, ~1e-7 — four orders away)
+DRIFT_TOL = 1e-11
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        os.environ.get("CLOUDSC2_TPU_TESTS") != "1",
+        reason="on-TPU test: set CLOUDSC2_TPU_TESTS=1 (needs the axon chip)",
+    ),
+]
+
+_WORKER = """
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+assert jax.devices()[0].platform == "tpu", jax.devices()
+from cloudsc2jax.drivers import run_nl
+from cloudsc2jax.state import Cloudsc2State
+
+st = Cloudsc2State.load(sys.argv[1])
+out = run_nl(st.kernel_inputs(dtype=np.float64), st.params)
+np.savez(sys.argv[2], **{k: np.asarray(v, np.float64)
+                         for k, v in zip(out._fields, out)})
+print("TPU_F64_OK", flush=True)
+"""
+
+
+def test_on_chip_f64_matches_cpu_f64(tmp_path, state, nl_outputs):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the axon hook pick the chip
+    env.pop("XLA_FLAGS", None)
+    script = tmp_path / "tpu_worker.py"
+    script.write_text(_WORKER)
+    outfile = tmp_path / "tpu_out.npz"
+    fixture = REPO / "tests" / "fixtures" / "input.h5"
+    r = subprocess.run(
+        [sys.executable, str(script), str(fixture), str(outfile)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0 and "TPU_F64_OK" in r.stdout, (
+        f"TPU f64 run failed:\n{r.stderr[-3000:]}"
+    )
+
+    tpu = np.load(outfile)
+    for name, cpu_val in zip(nl_outputs._fields, nl_outputs):
+        cpu_val = np.asarray(cpu_val, np.float64)
+        scale = max(np.abs(cpu_val).max(), 1e-30)
+        drift = np.abs(tpu[name] - cpu_val).max() / scale
+        assert drift < DRIFT_TOL, (
+            f"{name}: emulated-f64 drift {drift:.3e} exceeds {DRIFT_TOL:g}"
+        )
