@@ -225,6 +225,12 @@ def main():
                 "measured_xla_cpu_f64_cols_per_s": m["xla_cpu_f64_cols_per_s"],
                 "provenance": "tools/measure_baseline.py (single-core host)",
             }
+            # measured-denominator multiplier alongside the estimate-
+            # denominated headline: our cols/s vs the REAL single-core
+            # XLA-CPU f64 rate measured on this host (VERDICT r2 weak #2)
+            record["vs_measured_xla_cpu_f64"] = round(
+                cols_per_s / m["xla_cpu_f64_cols_per_s"], 1
+            )
         except Exception as e:
             # provenance is best-effort, but never drop it silently
             print(f"bench.py: BASELINE_MEASURED.json unreadable ({e!r}); "
