@@ -9,6 +9,16 @@ accumulator methodology as bench.py (distinct inputs per call, scalar
 probe chained on device, one host fetch), so tunnel latency and call
 coalescing cannot distort it.
 
+Window-matched mode (``CLOUDSC2_BW_PROBE_WINDOWS=RxW``): a Pallas
+streaming kernel with the SAME per-grid-step window structure as the
+physics kernels — grid ``(nb, nlev)``, R read + W write ``(S,128)``
+windows per step, trivial VPU body — so the TL (17r+19w=36 windows) and
+reverse-adjoint (28r+18w=46) mixes can be judged against a ceiling that
+pays the same window-issue cost at the same traffic, not against the
+3-stream ideal (VERDICT r2 item 3).  ``CLOUDSC2_BW_PROBE_REV=1``
+streams the level grid in reverse order (the adjoint sweep's DMA
+order).  ``CLOUDSC2_BW_PROBE_NB`` sets blocks (traffic matching).
+
 Prints one JSON line; feed ``attained_gbps`` to tools/roofline.py as
 --hbm-gbps for the fraction-of-practical-roofline number.
 """
@@ -21,12 +31,96 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def window_probe():
+    """Time a Pallas kernel streaming R read + W write (S,128) windows
+    per grid step over a (nb, nlev) grid — the physics kernels' exact
+    DMA shape with a trivial body.  Returns the JSON record."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r_w = os.environ["CLOUDSC2_BW_PROBE_WINDOWS"]
+    R, W = (int(x) for x in r_w.lower().split("x"))
+    nlev = int(os.environ.get("CLOUDSC2_BW_PROBE_NLEV", 137))
+    S = int(os.environ.get("CLOUDSC2_BW_PROBE_SUBLANES", 64))
+    nb = int(os.environ.get("CLOUDSC2_BW_PROBE_NB", 20))
+    rev = os.environ.get("CLOUDSC2_BW_PROBE_REV", "0") == "1"
+    repeats = int(os.environ.get("CLOUDSC2_BW_PROBE_REPEATS", 20))
+    interpret = os.environ.get("CLOUDSC2_BW_PROBE_INTERPRET", "0") == "1" \
+        or jax.devices()[0].platform != "tpu"
+
+    blk = (1, 1, S, 128)
+    im = (lambda b, k: (b, nlev - 1 - k, 0, 0)) if rev \
+        else (lambda b, k: (b, k, 0, 0))
+    spec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kernel(s_ref, *refs):
+        ins, outs = refs[:R], refs[R:]
+        s = s_ref[0]
+        for j in range(W):
+            outs[j][...] = ins[j % R][...] * s + ins[(j + 1) % R][...]
+
+    shape = (nlev, nb, S, 128)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb, nlev),
+        in_specs=[smem] + [spec] * R,
+        out_specs=[spec] * W,
+        out_shape=[jax.ShapeDtypeStruct(shape, jnp.float32)] * W,
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def step(s, *arrs):
+        outs = call(s, *arrs)
+        return sum(jnp.ravel(o)[:2].sum() for o in outs)
+
+    key = jax.random.PRNGKey(0)
+    arrs = [
+        jax.random.uniform(jax.random.fold_in(key, i), shape, jnp.float32)
+        for i in range(R)
+    ]
+
+    acc = jnp.float32(0.0)
+    for i in range(8):
+        acc = acc + step(jnp.float32(1e-7 * (i + 1)) * jnp.ones((1,)), *arrs)
+    assert np.isfinite(float(acc))
+
+    acc = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        acc = acc + step(jnp.float32(1e-6 * (i + 1)) * jnp.ones((1,)), *arrs)
+    assert np.isfinite(float(acc))
+    dt = (time.perf_counter() - t0) / repeats
+
+    traffic = (R + W) * nlev * nb * S * 128 * 4
+    return {
+        "platform": jax.devices()[0].platform,
+        "mode": "windows",
+        "windows": f"{R}x{W}",
+        "rev": rev,
+        "nb": nb,
+        "sublanes": S,
+        "nlev": nlev,
+        "traffic_gb_per_call": round(traffic / 1e9, 3),
+        "ms_per_call": round(dt * 1e3, 3),
+        "attained_gbps": round(traffic / dt / 1e9, 1),
+    }
+
+
 def main():
     import jax
 
     plat_env = os.environ.get("JAX_PLATFORMS")
     if plat_env:
         jax.config.update("jax_platforms", plat_env)
+
+    if os.environ.get("CLOUDSC2_BW_PROBE_WINDOWS"):
+        print(json.dumps(window_probe()))
+        return
 
     import jax.numpy as jnp
     import numpy as np
