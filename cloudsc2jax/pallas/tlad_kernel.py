@@ -76,6 +76,8 @@ from .cloudsc2_kernel import (
 __all__ = [
     "cloudsc2_pallas_tl",
     "cloudsc2_pallas_ad",
+    "cloudsc2_pallas_tl_encoded",
+    "cloudsc2_pallas_ad_encoded",
     "cloudsc2_pallas_tlad_fused",
     "fold_flux_seeds",
 ]
@@ -151,9 +153,25 @@ def _seed_streams(lay: _Layout, params: Params, d_outputs: Cloudsc2Outputs,
 
 
 # ------------------------------------------------------------------ TL
+def _decode_fields(lev_refs, enclev_ref):
+    """In-register affine decode of int16-encoded level streams (the
+    byte-diet experiment of DESIGN.md §8 applied to the TL/AD sweeps):
+    f32 refs pass through; int16 refs upcast via the lane-broadcast
+    [scale, offset] rows fetched at the same level index as the streams
+    (convert + FMA per element, hidden behind the halved DMA)."""
+    def dec(i, r):
+        x = r[0, 0]
+        if r.dtype == jnp.float32:
+            return x
+        sc, off = enclev_ref[0, 2 * i, :], enclev_ref[0, 2 * i + 1, :]
+        return x.astype(jnp.float32) * sc + off
+
+    return tuple(dec(i, r) for i, r in enumerate(lev_refs))
+
+
 def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
                save_ckpt: bool = False, dscale=None, chunk: int = 1,
-               nlev: int = 0):
+               nlev: int = 0, encoded: bool = False):
     """Fused trajectory+tangent level step (≙ cloudsc2tl.F90 dual
     statements); primal and tangent carries in VMEM scratch.
 
@@ -172,6 +190,9 @@ def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
     their (Pallas-OOB) writes dropped."""
     nf = _NF if chunk == 1 else _NF_CHUNK
     ceta_ref, zscalm_ref, notlast_ref, *rest = refs
+    if encoded:
+        assert chunk == 1 and dscale is not None
+        enclev_ref, *rest = rest
     lev_refs, rest = rest[:nf], rest[nf:]
     if dscale is None:
         dlev_refs, rest = rest[:nf], rest[nf:]
@@ -200,7 +221,8 @@ def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
         if chunk == 1:
             scalars = (ceta_ref[k, 0], zscalm_ref[k, 0],
                        notlast_ref[k, 0] > 0)
-            fields = tuple(r[0, 0] for r in lev_refs)
+            fields = (_decode_fields(lev_refs, enclev_ref) if encoded
+                      else tuple(r[0, 0] for r in lev_refs))
             dext = (tuple(r[0, 0] for r in dlev_refs)
                     if dscale is None else None)
             valid = None
@@ -630,7 +652,8 @@ def _fwd_ckpt_kernel(*refs, params: Params, ldrain1d: bool,
 
 
 def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
-                nlev: int, seed_scales=None, chunk: int = 1):
+                nlev: int, seed_scales=None, chunk: int = 1,
+                encoded: bool = False):
     """Reverse sweep (≙ cloudsc2ad.F90:934-1668, DO JK=KLEV,1,-1): the
     grid's level axis runs backwards via the reversed index maps; the
     level trajectory is recomputed from raw fields + carry checkpoint and
@@ -642,6 +665,9 @@ def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
     assembly downstream is identical."""
     nf = _NF if chunk == 1 else _NF_CHUNK
     ceta_ref, zscalm_ref, notlast_ref, *rest = refs
+    if encoded:
+        assert chunk == 1
+        enclev_ref, *rest = rest
     lev_refs, rest = rest[:nf], rest[nf:]
     ckpt_refs, rest = rest[:3], rest[3:]
     seed_refs, rest = rest[:N_OUTPUTS], rest[N_OUTPUTS:]
@@ -667,7 +693,8 @@ def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
             kr = nlev - 1 - k  # physical level of this step
             scalars = (ceta_ref[kr, 0], zscalm_ref[kr, 0],
                        notlast_ref[kr, 0] > 0)
-            fields = tuple(r[0, 0] for r in lev_refs)
+            fields = (_decode_fields(lev_refs, enclev_ref) if encoded
+                      else tuple(r[0, 0] for r in lev_refs))
             valid = None
         else:
             lev = (nch - 1 - k) * chunk + c
@@ -856,3 +883,234 @@ def cloudsc2_pallas_ad(
     if not levels_major:
         d_in = Cloudsc2Inputs(*(x.T for x in d_in))
     return out, d_in
+
+
+# --------------------------------------------- encoded-stream work unit
+# The byte-diet experiment prescribed by the round-2 review: the fused
+# TL+AD unit moves ~9.2 GB/call at ~86% of its ceiling and re-reads the
+# 17 raw level streams in BOTH sweeps (≙ the trajectory-byte problem of
+# cloudsc2ad.F90:228-292), so — unlike the latency-bound NL sweep, where
+# int16 encoding measured as a quantified negative (DESIGN.md §8) — the
+# TL/AD mixes are the one place halved stream bytes could still pay.
+# These wrappers run the SAME _tl_kernel/_rev_kernel schedules over
+# int16 affine-encoded level streams (encode_blocked_inputs with
+# fuse_satur=False, keep_f32 pq/plu/paph), decoded in-register.
+
+
+class _EncGeometry:
+    """Spec/scalar factory for the encoded blocked layout (the subset of
+    _Layout the encoded path needs, built WITHOUT the f32 arrays so the
+    timed program never touches them)."""
+
+    def __init__(self, enc_inputs, params):
+        from .cloudsc2_kernel import _ZEPS1, _ZSCAL
+
+        streams = enc_inputs.streams
+        assert len(streams) == N_LEVEL_FIELDS + 2, (
+            "encoded TL/AD needs fuse_satur=False encoding (pqs kept)"
+        )
+        for name, s in (("pq", streams[1]), ("plu", streams[-2]),
+                        ("paph", streams[-1])):
+            if s.dtype != jnp.float32:
+                raise ValueError(f"encoded TL/AD keeps {name} f32 "
+                                 "(lev-only decode window)")
+        self.nlev, self.nb, self.sublanes, _ = streams[0].shape
+        self.bc = self.sublanes * 128
+        self.dtype = jnp.float32
+        nlev = self.nlev
+
+        ceta = jnp.asarray(params.ceta, self.dtype)
+        self.ceta = ceta
+        self.zscalm = (
+            _ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2
+        ).astype(self.dtype)
+        self.notlast = (jnp.arange(nlev) < nlev - 1).astype(jnp.int32)
+
+        # operand order = _Layout.level_operands: 14 fields, plu(k+1),
+        # paph(k), paph(k+1) — paph stream passed twice
+        self.operands = (*streams[:N_LEVEL_FIELDS], streams[-2],
+                         streams[-1], streams[-1])
+        nf = _NF
+        table = enc_inputs.enc  # (nf, nlev+1, 2)
+        self.enclev = jnp.broadcast_to(
+            jnp.transpose(table, (1, 0, 2)).reshape(nlev + 1, 2 * nf)[..., None],
+            (nlev + 1, 2 * nf, 128),
+        )
+        self.ztrpaus_b = enc_inputs.ztrpaus
+        self.paphsfc_b = enc_inputs.paphsfc
+
+    def scalar_args(self):
+        n = self.nlev
+        return (self.ceta.reshape(n, 1), self.zscalm.reshape(n, 1),
+                self.notlast.reshape(n, 1))
+
+    def specs(self, rev: bool):
+        blk = (1, 1, self.sublanes, 128)
+        nlev = self.nlev
+        if rev:
+            lev = lambda b, k: (nlev - 1 - k, b, 0, 0)
+            plu = lambda b, k: (jnp.minimum(nlev - k, nlev - 1), b, 0, 0)
+            hi = lambda b, k: (nlev - k, b, 0, 0)
+            enc = lambda b, k: (nlev - 1 - k, 0, 0)
+        else:
+            lev = lambda b, k: (k, b, 0, 0)
+            plu = lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0)
+            hi = lambda b, k: (k + 1, b, 0, 0)
+            enc = lambda b, k: (k, 0, 0)
+        mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+        lev_s = [mk(lev)] * N_LEVEL_FIELDS + [mk(plu), mk(lev), mk(hi)]
+        col_s = pl.BlockSpec(
+            (1, self.sublanes, 128), lambda b, k: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        smem_s = pl.BlockSpec(memory_space=pltpu.SMEM)
+        enclev_s = pl.BlockSpec(
+            (1, 2 * _NF, 128), enc, memory_space=pltpu.VMEM
+        )
+        return lev_s, col_s, smem_s, enclev_s
+
+    def out_shape(self):
+        return jax.ShapeDtypeStruct(
+            (self.nlev, self.nb, self.sublanes, 128), self.dtype
+        )
+
+    def col_shape(self):
+        return jax.ShapeDtypeStruct(
+            (self.nb, self.sublanes, 128), self.dtype
+        )
+
+    def scratch(self, n):
+        return [pltpu.VMEM((self.sublanes, 128), self.dtype)] * n
+
+    def bytes_accessed(self, n_f32_windows):
+        """Exact per-call traffic: encoded streams at 2 B, f32 at 4 B,
+        plus the decode window."""
+        cell = self.nlev * self.nb * self.bc
+        enc_bytes = sum(
+            s.dtype.itemsize * cell for s in self.operands
+        )
+        enc_bytes += 2 * _NF * 128 * 4 * self.nlev * self.nb  # decode rows
+        return enc_bytes + n_f32_windows * cell * 4
+
+
+def cloudsc2_pallas_tl_encoded(
+    enc_inputs,
+    params: Params,
+    *,
+    dscale: float,
+    lregcl: bool = True,
+    ldrain1d: bool = False,
+    save_checkpoints: bool = True,
+    vmem_limit_bytes: int | None = None,
+    interpret: bool = False,
+):
+    """Blocked dscale TL sweep over int16-encoded level streams.
+
+    Same schedule as ``cloudsc2_pallas_tl(blocked=True, dscale=...)``
+    with the 11 encodable level streams moving half the HBM bytes
+    (decode = convert + FMA in-register).  Tangents are formed from the
+    DECODED trajectory, so the TL is the exact tangent of the quantised
+    primal.  Returns (outputs, d_outputs[, checkpoints]) blocked."""
+    if not (bool(params.yrephli.lphylin) or ldrain1d):
+        raise NotImplementedError("LPHYLIN=True only (see cloudsc2_pallas_tl)")
+    g = _EncGeometry(enc_inputs, params)
+    lev_s, col_s, smem_s, enclev_s = g.specs(rev=False)
+    nout = 2 * N_OUTPUTS + (3 if save_checkpoints else 0)
+    out_spec = lev_s[0]
+    kernel = functools.partial(
+        _tl_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
+        save_ckpt=save_checkpoints, dscale=float(dscale), chunk=1,
+        nlev=g.nlev, encoded=True,
+    )
+    cost = pl.CostEstimate(
+        flops=(2 * 292 + 3 * _NF) * g.nlev * g.nb * g.bc,
+        bytes_accessed=g.bytes_accessed(nout),
+        transcendentals=2 * 10 * g.nlev * g.nb * g.bc,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(g.nb, g.nlev),
+        in_specs=[smem_s] * 3 + [enclev_s] + lev_s + [col_s] * 2,
+        out_specs=[out_spec] * nout,
+        out_shape=[g.out_shape()] * nout,
+        scratch_shapes=g.scratch(6),
+        cost_estimate=cost,
+        interpret=interpret,
+        **_vmem_kw(vmem_limit_bytes),
+    )(*g.scalar_args(), g.enclev, *g.operands, g.ztrpaus_b, g.paphsfc_b)
+    out_b = Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS])
+    dout_b = Cloudsc2BlockedOutputs(*outs[N_OUTPUTS : 2 * N_OUTPUTS])
+    if save_checkpoints:
+        return out_b, dout_b, tuple(outs[2 * N_OUTPUTS :])
+    return out_b, dout_b
+
+
+def cloudsc2_pallas_ad_encoded(
+    enc_inputs,
+    d_outputs,
+    params: Params,
+    *,
+    checkpoints,
+    lregcl: bool = True,
+    ldrain1d: bool = False,
+    fold_seeds: bool = True,
+    vmem_limit_bytes: int | None = None,
+    interpret: bool = False,
+):
+    """Reverse adjoint sweep over int16-encoded level streams.
+
+    Requires the per-level carry checkpoints from
+    :func:`cloudsc2_pallas_tl_encoded` (the fused-unit contract — the
+    forward sweep is never rerun).  ``d_outputs`` is the blocked 8-stream
+    cotangent (f32; produced on-device, never stored encoded).
+    Returns (None, input_adjoints) blocked."""
+    if not (bool(params.yrephli.lphylin) or ldrain1d):
+        raise NotImplementedError("LPHYLIN=True only (see cloudsc2_pallas_ad)")
+    g = _EncGeometry(enc_inputs, params)
+    lev_rev, col_s, smem_s, enclev_rev = g.specs(rev=True)
+    rev_spec = lev_rev[0]
+    seeds = tuple(jnp.asarray(s, g.dtype) for s in d_outputs)
+    rev = pl.pallas_call(
+        functools.partial(
+            _rev_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
+            nlev=g.nlev, chunk=1, encoded=True,
+            seed_scales=(
+                (1.0 + float(params.yomcst.rlvtt) ** 2,
+                 1.0 + float(params.yomcst.rlstt) ** 2)
+                if fold_seeds else None
+            ),
+        ),
+        grid=(g.nb, g.nlev),
+        in_specs=[smem_s] * 3 + [enclev_rev] + lev_rev + [rev_spec] * 3
+        + [rev_spec] * N_OUTPUTS + [col_s] * 2,
+        out_specs=[rev_spec] * _NF + [col_s],
+        out_shape=[g.out_shape()] * _NF + [g.col_shape()],
+        scratch_shapes=g.scratch(3),
+        cost_estimate=pl.CostEstimate(
+            flops=(3 * 292 + 3 * _NF) * g.nlev * g.nb * g.bc,
+            bytes_accessed=g.bytes_accessed(3 + N_OUTPUTS + _NF + 1),
+            transcendentals=2 * 10 * g.nlev * g.nb * g.bc,
+        ),
+        interpret=interpret,
+        **_vmem_kw(vmem_limit_bytes),
+    )(*g.scalar_args(), g.enclev, *g.operands, *tuple(checkpoints), *seeds,
+      g.ztrpaus_b, g.paphsfc_b)
+
+    dlev = list(rev[:_NF])
+    d_plu_k1, d_paph_lo, d_paph_hi = dlev[N_LEVEL_FIELDS:]
+    dpaphsfc = rev[_NF]  # (nb, S, 128)
+    zrow = jnp.zeros((1,) + d_plu_k1.shape[1:], g.dtype)
+    d = dict(zip(_LEVEL_FIELDS, dlev[:N_LEVEL_FIELDS]))
+    # shifted-view scatter: same assembly as cloudsc2_pallas_ad(blocked)
+    d["plu"] = jnp.concatenate([zrow, d_plu_k1[:-1]], axis=0)
+    d["paph"] = (
+        jnp.concatenate([d_paph_lo, zrow], axis=0)
+        + jnp.concatenate([zrow, d_paph_hi], axis=0)
+    ).at[g.nlev].add(dpaphsfc)
+    d_in = Cloudsc2Inputs(
+        paph=d["paph"], pap=d["pap"], pq=d["pq"], pqs=d["pqs"], pt=d["pt"],
+        pl=d["pl"], pi=d["pi"], plude=d["plude"], plu=d["plu"],
+        pmfu=d["pmfu"], pmfd=d["pmfd"], ten_t=d["ten_t"], ten_q=d["ten_q"],
+        ten_l=d["ten_l"], ten_i=d["ten_i"], psupsat=d["psupsat"],
+    )
+    return None, d_in

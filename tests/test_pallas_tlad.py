@@ -175,6 +175,96 @@ def test_checkpoint_reuse_adjoint_matches(state):
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
+def test_encoded_tlad_unit_matches_exact(state):
+    """The int16-encoded fused work unit (VERDICT r2 item 2: the byte
+    diet applied to the byte-heavy TL+AD kernels) — dscale TL with
+    checkpoints + reverse-only adjoint over encoded streams:
+
+    * tangents/adjoints track the exact-f32 unit within the quantisation
+      budget (the encoded primal is ~1e-4 off, tools/encoding_study.py);
+    * the adjoint identity holds TIGHTLY through the encoded pair — TL
+      and AD are exact derivatives of the same quantised primal, so the
+      identity error is f32 rounding, not quantisation."""
+    from cloudsc2jax.drivers import DSCALE
+    from cloudsc2jax.pallas.cloudsc2_kernel import encode_blocked_inputs
+    from cloudsc2jax.pallas.tlad_kernel import (
+        cloudsc2_pallas_ad_encoded,
+        cloudsc2_pallas_tl_encoded,
+    )
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    params = st.params
+    blk = st.device_kernel_inputs(256, dtype=np.float32, blocked_sublanes=1)
+
+    out_x, dout_x, ck_x = cloudsc2_pallas_tl(
+        blk, None, params, lregcl=True, blocked=True, save_checkpoints=True,
+        dscale=DSCALE, interpret=True,
+    )
+    _, adj_x = cloudsc2_pallas_ad(
+        blk, dout_x, params, lregcl=True, blocked=True, checkpoints=ck_x,
+        fold_seeds=True, interpret=True,
+    )
+
+    enc = encode_blocked_inputs(blk, params, fuse_satur=False)
+    assert len(enc.streams) == 16  # 14 level fields (pqs kept) + plu + paph
+    out_e, dout_e, ck_e = cloudsc2_pallas_tl_encoded(
+        enc, params, dscale=DSCALE, lregcl=True, interpret=True,
+    )
+    _, adj_e = cloudsc2_pallas_ad_encoded(
+        enc, dout_e, params, checkpoints=ck_e, lregcl=True, fold_seeds=True,
+        interpret=True,
+    )
+
+    for what, got, want, tol in (
+        ("primal", out_e, out_x, 2e-3),
+        ("tangent", dout_e, dout_x, 5e-3),
+        ("adjoint", adj_e, adj_x, 5e-3),
+    ):
+        for name, a, b in zip(want._fields, got, want):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            denom = max(np.abs(b).sum(), 1e-30)
+            assert np.abs(a - b).sum() / denom < tol, (what, name)
+
+    # adjoint identity through the encoded pair: <Mdx,Mdx> = <dx,M^T M dx>
+    # with dx = DSCALE * decoded(x); the seeds were (1+L^2)-folded
+    # in-kernel so the rfln/sfln terms rescale in norm1 (fold_flux_seeds)
+    cst = params.yomcst
+    w = {"rfln": 1.0 + cst.rlvtt**2, "sfln": 1.0 + cst.rlstt**2}
+    n1 = sum(
+        w.get(name, 1.0) * float(np.sum(np.asarray(v, np.float64) ** 2))
+        for name, v in zip(dout_e._fields, dout_e)
+    )
+    dec = _decode_streams(enc)
+    n2 = sum(
+        float(np.sum(DSCALE * np.asarray(x, np.float64)
+                     * np.asarray(a, np.float64)))
+        for x, a in zip(dec, adj_e)
+    )
+    assert abs(n1 - n2) / abs(n2) < 1e-5, (n1, n2)
+
+
+def _decode_streams(enc):
+    """Host-side decode of EncodedInputs back to the 16-field
+    Cloudsc2Inputs order (paph twice collapsed to once)."""
+    from cloudsc2jax.pallas.cloudsc2_kernel import _LEVEL_FIELDS
+
+    out = {}
+    names = list(_LEVEL_FIELDS) + ["plu", "paph"]
+    for i, name in enumerate(names):
+        s = np.asarray(enc.streams[i])
+        if s.dtype == np.float32:
+            out[name] = np.float64(s)
+        else:
+            tab = np.asarray(enc.enc[i], np.float64)  # (nlev+1, 2)
+            sc = tab[: s.shape[0], 0][:, None, None, None]
+            off = tab[: s.shape[0], 1][:, None, None, None]
+            out[name] = np.float64(s) * sc + off
+    from cloudsc2jax.physics.cloudsc2 import Cloudsc2Inputs
+
+    return Cloudsc2Inputs(**out)
+
+
 @pytest.mark.parametrize("chunk", [2, 3])
 def test_chunked_levels_match_single(state, chunk):
     """C-level chunked grid steps (``chunk_levels``) reproduce the
