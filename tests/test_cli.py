@@ -147,3 +147,25 @@ def test_adjoint_identity_helper_both_contracts():
     assert hasattr(doutb, "rfln")  # the weighted branch is exercised
     relb, finiteb = _adjoint_identity(jax, st, blk, doutb, adjb)
     assert finiteb and relb < 1e-2, relb
+
+
+def test_measure_f32_verdicts_contract(state):
+    """bench.py's per-round f32 verdict emitter: returns the measured
+    TL-parity / adjoint-identity values with their CLI tolerances, and
+    the measured values sit under the tolerances (the quantities rounds
+    are compared on, VERDICT r2 item 7)."""
+    import numpy as np
+
+    from cloudsc2jax.cli import (
+        PALLAS_AD_IDENTITY_TOL,
+        PALLAS_TL_PARITY_TOL,
+        measure_f32_verdicts,
+    )
+
+    inputs = state.kernel_inputs(dtype=np.float32)
+    m = measure_f32_verdicts(state, inputs)
+    assert m["finite"]
+    assert m["tl_parity_tol"] == PALLAS_TL_PARITY_TOL
+    assert m["ad_identity_tol"] == PALLAS_AD_IDENTITY_TOL
+    assert 0.0 <= m["tl_parity_rel_err"] < PALLAS_TL_PARITY_TOL
+    assert 0.0 <= m["ad_identity_rel_err"] < PALLAS_AD_IDENTITY_TOL
