@@ -171,7 +171,8 @@ def _decode_fields(lev_refs, enclev_ref):
 
 def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
                save_ckpt: bool = False, dscale=None, chunk: int = 1,
-               nlev: int = 0, encoded: bool = False):
+               nlev: int = 0, encoded: bool = False,
+               write_primal: bool = True):
     """Fused trajectory+tangent level step (≙ cloudsc2tl.F90 dual
     statements); primal and tangent carries in VMEM scratch.
 
@@ -201,7 +202,8 @@ def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
     else:
         ztrpaus_ref, paphsfc_ref = rest[:2]
         rest = rest[2:]
-    nout = 2 * N_OUTPUTS + (3 if save_ckpt else 0)
+    nprim = N_OUTPUTS if write_primal else 0
+    nout = nprim + N_OUTPUTS + (3 if save_ckpt else 0)
     out_refs = rest[:nout]
     rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s = rest[nout:]
 
@@ -244,7 +246,7 @@ def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
             dfields = tuple(dscale * x for x in fields)
             dcols = (jnp.zeros_like(ztrpaus), dscale * paphsfc_ref[0])
         if save_ckpt:
-            for r, v in zip(out_refs[2 * N_OUTPUTS :], carry):
+            for r, v in zip(out_refs[nprim + N_OUTPUTS :], carry):
                 r[c, 0] = v
 
         def f(fl, co, ca, _s=scalars):
@@ -254,9 +256,10 @@ def _tl_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
         (outs, newc), (douts, dnewc) = jax.jvp(
             f, (fields, cols, carry), (dfields, dcols, dcarry)
         )
-        for r, v in zip(out_refs[:N_OUTPUTS], outs):
-            r[c, 0] = v
-        for r, v in zip(out_refs[N_OUTPUTS : 2 * N_OUTPUTS], douts):
+        if write_primal:
+            for r, v in zip(out_refs[:N_OUTPUTS], outs):
+                r[c, 0] = v
+        for r, v in zip(out_refs[nprim : nprim + N_OUTPUTS], douts):
             r[c, 0] = v
         if valid is not None:
             newc = tuple(jnp.where(valid, n, o)
@@ -281,6 +284,7 @@ def cloudsc2_pallas_tl(
     save_checkpoints: bool = False,
     dscale=None,
     chunk_levels: int = 1,
+    write_primal: bool = True,
     vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Outputs]:
@@ -306,9 +310,18 @@ def cloudsc2_pallas_tl(
 
     ``chunk_levels`` (C): C levels per grid step — same results, fewer,
     larger DMA windows (the per-step window-issue-latency experiment,
-    DESIGN.md §8)."""
+    DESIGN.md §8).
+
+    ``write_primal=False`` (blocked only) drops the 8 primal output
+    streams from HBM (trajectory still computed in-register): the
+    reference AD driver never materialises the NL outputs — only δy and
+    x̄ enter the test (cloudsc_driver_ad_mod.F90:160-256) — so the
+    adjoint work unit can shed 8 of the TL sweep's 19 write windows;
+    returns (None, d_outputs[, checkpoints])."""
     if save_checkpoints and not blocked:
         raise ValueError("save_checkpoints requires blocked=True")
+    if not write_primal and not (blocked and chunk_levels == 1):
+        raise ValueError("write_primal=False requires blocked single-level")
     if (d_inputs is None) == (dscale is None):
         raise ValueError("provide exactly one of d_inputs or dscale")
     if not (bool(params.yrephli.lphylin) or ldrain1d):
@@ -331,7 +344,8 @@ def cloudsc2_pallas_tl(
         )
         lev_ops = lay.chunk_operands
     _, _, _, col_s, smem_s = lay.specs(rev=False)
-    nout = 2 * N_OUTPUTS + (3 if save_checkpoints else 0)
+    nprim = N_OUTPUTS if write_primal else 0
+    nout = nprim + N_OUTPUTS + (3 if save_checkpoints else 0)
 
     if dscale is None:
         d_arrs = {
@@ -358,7 +372,7 @@ def cloudsc2_pallas_tl(
         _tl_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
         save_ckpt=save_checkpoints,
         dscale=None if dscale is None else float(dscale),
-        chunk=chunk_levels, nlev=lay.nlev,
+        chunk=chunk_levels, nlev=lay.nlev, write_primal=write_primal,
     )
     cost = pl.CostEstimate(
         flops=2 * 292 * lay.nlev * lay.nb * lay.bc,
@@ -378,10 +392,11 @@ def cloudsc2_pallas_tl(
         **_vmem_kw(vmem_limit_bytes),
     )(*lay.scalar_args(), *operands)
     if blocked:
-        out_b = Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS])
-        dout_b = Cloudsc2BlockedOutputs(*outs[N_OUTPUTS : 2 * N_OUTPUTS])
+        out_b = (Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS]) if write_primal
+                 else None)
+        dout_b = Cloudsc2BlockedOutputs(*outs[nprim : nprim + N_OUTPUTS])
         if save_checkpoints:
-            return out_b, dout_b, tuple(outs[2 * N_OUTPUTS :])
+            return out_b, dout_b, tuple(outs[nprim + N_OUTPUTS :])
         return out_b, dout_b
     out = _assemble_outputs(lay, params, outs[:N_OUTPUTS], levels_major)
     d_out = _assemble_outputs(lay, params, outs[N_OUTPUTS:], levels_major)
@@ -1001,6 +1016,7 @@ def cloudsc2_pallas_tl_encoded(
     lregcl: bool = True,
     ldrain1d: bool = False,
     save_checkpoints: bool = True,
+    write_primal: bool = True,
     vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ):
@@ -1015,12 +1031,13 @@ def cloudsc2_pallas_tl_encoded(
         raise NotImplementedError("LPHYLIN=True only (see cloudsc2_pallas_tl)")
     g = _EncGeometry(enc_inputs, params)
     lev_s, col_s, smem_s, enclev_s = g.specs(rev=False)
-    nout = 2 * N_OUTPUTS + (3 if save_checkpoints else 0)
+    nprim = N_OUTPUTS if write_primal else 0
+    nout = nprim + N_OUTPUTS + (3 if save_checkpoints else 0)
     out_spec = lev_s[0]
     kernel = functools.partial(
         _tl_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
         save_ckpt=save_checkpoints, dscale=float(dscale), chunk=1,
-        nlev=g.nlev, encoded=True,
+        nlev=g.nlev, encoded=True, write_primal=write_primal,
     )
     cost = pl.CostEstimate(
         flops=(2 * 292 + 3 * _NF) * g.nlev * g.nb * g.bc,
@@ -1038,10 +1055,11 @@ def cloudsc2_pallas_tl_encoded(
         interpret=interpret,
         **_vmem_kw(vmem_limit_bytes),
     )(*g.scalar_args(), g.enclev, *g.operands, g.ztrpaus_b, g.paphsfc_b)
-    out_b = Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS])
-    dout_b = Cloudsc2BlockedOutputs(*outs[N_OUTPUTS : 2 * N_OUTPUTS])
+    out_b = (Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS]) if write_primal
+             else None)
+    dout_b = Cloudsc2BlockedOutputs(*outs[nprim : nprim + N_OUTPUTS])
     if save_checkpoints:
-        return out_b, dout_b, tuple(outs[2 * N_OUTPUTS :])
+        return out_b, dout_b, tuple(outs[nprim + N_OUTPUTS :])
     return out_b, dout_b
 
 

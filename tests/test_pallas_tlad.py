@@ -175,6 +175,45 @@ def test_checkpoint_reuse_adjoint_matches(state):
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
+def test_write_primal_false_matches(state):
+    """Dropping the 8 primal output streams (the adjoint work unit never
+    needs them — cloudsc_driver_ad_mod.F90:160-256 uses only δy and x̄)
+    leaves tangents, checkpoints and the adjoint bit-identical."""
+    from cloudsc2jax.drivers import DSCALE
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    params = st.params
+    blk = st.device_kernel_inputs(256, dtype=np.float32, blocked_sublanes=1)
+
+    out_w, dout_w, ck_w = cloudsc2_pallas_tl(
+        blk, None, params, lregcl=True, blocked=True, save_checkpoints=True,
+        dscale=DSCALE, interpret=True,
+    )
+    out_n, dout_n, ck_n = cloudsc2_pallas_tl(
+        blk, None, params, lregcl=True, blocked=True, save_checkpoints=True,
+        dscale=DSCALE, write_primal=False, interpret=True,
+    )
+    assert out_n is None
+    for name, a, b in zip(dout_w._fields, dout_n, dout_w):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    for a, b in zip(ck_n, ck_w):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    _, adj_w = cloudsc2_pallas_ad(
+        blk, dout_w, params, lregcl=True, blocked=True, checkpoints=ck_w,
+        fold_seeds=True, interpret=True,
+    )
+    _, adj_n = cloudsc2_pallas_ad(
+        blk, dout_n, params, lregcl=True, blocked=True, checkpoints=ck_n,
+        fold_seeds=True, interpret=True,
+    )
+    for name, a, b in zip(adj_w._fields, adj_n, adj_w):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 def test_encoded_tlad_unit_matches_exact(state):
     """The int16-encoded fused work unit (VERDICT r2 item 2: the byte
     diet applied to the byte-heavy TL+AD kernels) — dscale TL with

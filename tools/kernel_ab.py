@@ -17,6 +17,10 @@ Config syntax (one timing line each, chained-accumulator methodology):
 - ``enc:<S>``      — the int16 encoded-stream work unit (VERDICT r2
                      item 2: byte diet on the byte-heavy TL/AD mixes);
                      inputs pre-encoded outside the timed step.
+- ``noprim:<S>``   — work unit without the 8 primal output streams
+                     (the reference AD driver never materialises the NL
+                     outputs, cloudsc_driver_ad_mod.F90:160-256).
+- ``encnp:<S>``    — both diets combined (encoded + no primal).
 
 Measured results are environment-sensitive (±10% tunnel variance) —
 compare configs from the SAME invocation only.  Round-2 reference
@@ -64,7 +68,7 @@ def _step_fn(cfg, params):
         if kind == "fused":
             return cloudsc2_pallas_tlad_fused(i, params, lregcl=True,
                                               sublanes=S)
-        if kind == "enc":
+        if kind in ("enc", "encnp"):
             from cloudsc2jax.pallas.tlad_kernel import (
                 cloudsc2_pallas_ad_encoded,
                 cloudsc2_pallas_tl_encoded,
@@ -72,6 +76,7 @@ def _step_fn(cfg, params):
 
             out, dout, ckpts = cloudsc2_pallas_tl_encoded(
                 i, params, dscale=0.01, lregcl=True, vmem_limit_bytes=vl,
+                write_primal=(kind == "enc"),
             )
             _, adj = cloudsc2_pallas_ad_encoded(
                 i, dout, params, checkpoints=ckpts, lregcl=True,
@@ -81,7 +86,7 @@ def _step_fn(cfg, params):
         out, dout, ckpts = cloudsc2_pallas_tl(
             i, None, params, lregcl=True, sublanes=S, blocked=True,
             save_checkpoints=True, dscale=0.01, chunk_levels=C,
-            vmem_limit_bytes=vl,
+            vmem_limit_bytes=vl, write_primal=(kind != "noprim"),
         )
         _, adj = cloudsc2_pallas_ad(
             i, dout, params, lregcl=True, sublanes=S, blocked=True,
@@ -123,7 +128,7 @@ def main(argv):
                     1e-6 * rng.uniform(0.5, 1.5) * (i + 1)))
                 for i in range(REPS)
             ]
-            if cfg.split(":")[0] == "enc":
+            if cfg.split(":")[0] in ("enc", "encnp"):
                 # storage-encoding premise: data lives encoded in HBM —
                 # encode each variant OUTSIDE the timed step (the bump
                 # lands in the decode-table offset row via re-encoding)
