@@ -84,9 +84,14 @@ def main():
             )
         else:
             backend = "xla"
+        # CLOUDSC2_BENCH_WRITE_PRIMAL=0: the reference AD-driver contract
+        # (δy and x̄ only) — sheds the 8 primal output streams
+        wp = os.environ.get("CLOUDSC2_BENCH_WRITE_PRIMAL", "1") == "1"
         fn = partial(run_tlad, params=state.params, lregcl=True,
-                     backend=backend, sublanes=sublanes)
-        impl = backend
+                     backend=backend, sublanes=sublanes, write_primal=wp)
+        # the flag only affects the blocked pallas kernels
+        impl = (backend + "_noprim"
+                if (not wp and backend == "pallas_blocked") else backend)
     elif use_pallas and platform == "tpu":
         from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
 

@@ -182,6 +182,7 @@ def run_tlad(
     sublanes: int = 64,
     mesh=None,
     interpret: bool = False,
+    write_primal: bool = True,
 ):
     """One fused NL+TL+AD sweep (the production 4D-Var work unit).
 
@@ -198,13 +199,18 @@ def run_tlad(
     — the f32 performance path.  ``backend="xla"`` (default) uses
     ``jax.jvp``/``jax.vjp`` of the lax.scan kernel — the f64 validation
     path; ``remat``/``nproma`` apply to it only.
+
+    ``write_primal=False`` (pallas_blocked only) drops the 8 primal
+    output streams from the TL sweep — the reference AD driver's actual
+    contract (δy and x̄ only, cloudsc_driver_ad_mod.F90:160-256); the
+    returned ``outputs`` is then None.
     """
     key = (id(params), lregcl, ldrain1d, remat, nproma, backend, sublanes,
-           id(mesh), interpret)
+           id(mesh), interpret, write_primal)
     hit = _TLAD_CACHE.get(key)
     if hit is None or hit[0] is not params:
         step = _tlad_step(params, lregcl, ldrain1d, remat, nproma,
-                          backend, sublanes, interpret)
+                          backend, sublanes, interpret, write_primal)
         if mesh is not None and backend.startswith("pallas"):
             from . import dist
 
@@ -226,7 +232,7 @@ _TLAD_CACHE = _LRUCache()
 
 
 def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes,
-               interpret=False):
+               interpret=False, write_primal=True):
     from functools import partial as _partial
 
     if backend in ("pallas", "pallas_blocked"):
@@ -249,6 +255,7 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes,
                     i, None, params, lregcl=lregcl, ldrain1d=ldrain1d,
                     sublanes=sublanes, blocked=True, save_checkpoints=True,
                     dscale=DSCALE, interpret=interpret,
+                    write_primal=write_primal,
                 )
                 _, adj = cloudsc2_pallas_ad(
                     i, dout, params, lregcl=lregcl,
