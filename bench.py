@@ -24,11 +24,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _tpu_reachable(timeout_s: int) -> bool:
+    """Preflight the accelerator in a SUBPROCESS: when the axon tunnel is
+    down, backend init blocks indefinitely inside make_c_api_client — a
+    hang no in-process timeout can interrupt.  A throwaway probe process
+    takes the risk instead; on failure the bench falls back to CPU and
+    says so, rather than hanging the whole round."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); "
+             "raise SystemExit(0 if d[0].platform=='tpu' else 3)"],
+            timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     import jax
 
-    # honor JAX_PLATFORMS even when a site hook pre-selected a platform
-    plat_env = os.environ.get("JAX_PLATFORMS")
+    # honor JAX_PLATFORMS even when a site hook pre-selected a platform;
+    # when the target is the TPU (explicitly or by default), preflight it
+    # first — a downed tunnel hangs backend init unrecoverably otherwise
+    plat_env = (os.environ.get("JAX_PLATFORMS") or "").strip().lower()
+    wants_tpu = plat_env in ("", "axon", "tpu")
+    if wants_tpu and os.environ.get("CLOUDSC2_BENCH_PREFLIGHT", "1") == "1":
+        t = int(os.environ.get("CLOUDSC2_BENCH_PREFLIGHT_TIMEOUT", 420))
+        if not _tpu_reachable(t):
+            print(f"bench.py: accelerator preflight failed within {t}s "
+                  "(tunnel down?) — falling back to CPU", file=sys.stderr)
+            plat_env, wants_tpu = "cpu", False
     if plat_env:
         jax.config.update("jax_platforms", plat_env)
 
