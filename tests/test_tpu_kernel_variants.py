@@ -1,0 +1,160 @@
+"""On-chip parity gate for the in-tree kernel-schedule variants
+(VERDICT r2 weak #6).
+
+The measured-negative/null scheduling experiments — ``chunk_levels``,
+the single-call fused TL+AD unit, ``write_primal=False`` and the int16
+encoded-stream unit — are kept in-tree as recorded experiments
+(DESIGN.md §8) and are exercised by interpret-mode tests only.  A
+regression specific to real Mosaic lowering (window pinning, two-phase
+index maps, scoped-VMEM budgets) would therefore surface only when
+someone re-runs ``tools/kernel_ab.py``.  This test closes that hole: on
+the real chip, every variant must still agree with the production
+two-kernel work unit (TL + reverse-only adjoint over carry checkpoints,
+``pallas/tlad_kernel.py``).
+
+Guarded: runs only when ``CLOUDSC2_TPU_TESTS=1``:
+
+    CLOUDSC2_TPU_TESTS=1 python -m pytest tests/test_tpu_kernel_variants.py -q
+
+First run in a cold compile cache takes several minutes (7 distinct
+Mosaic programs through the AOT tunnel); the persistent ``.jax_cache``
+makes reruns fast.  Comparisons are jitted on-device scalar reductions
+(never fetch ngptot-scale arrays through the tunnel — CLAUDE.md).
+"""
+
+import os
+import pathlib
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        os.environ.get("CLOUDSC2_TPU_TESTS") != "1",
+        reason="on-TPU test: set CLOUDSC2_TPU_TESTS=1 (needs the axon chip)",
+    ),
+]
+
+# (tangent, adjoint) sum-relative-error budgets, max over fields.
+# chunk2/noprim/fused re-schedule the IDENTICAL f32 math; the budgets
+# cover f32 reduction-order noise (measured interpret values at nlev=9:
+# chunk2 1.3e-9/2.5e-6, fused 1.2e-7/4.0e-5) with ~10-30x headroom —
+# a real Mosaic scheduling regression (stale window, broken pin) is
+# O(1), many orders above.  The encoded unit quantises the level
+# streams to int16 (interpret budget 5e-3,
+# test_pallas_tlad.py::test_encoded_tlad_unit_matches_exact).
+TOLS = {
+    "chunk2": (1e-6, 1e-4),
+    "noprim": (0.0, 0.0),  # same kernel, fewer output streams: exact
+    "fused": (1e-5, 1e-3),
+    "enc": (5e-3, 5e-3),
+}
+
+_WORKER = """
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+assert jax.devices()[0].platform == "tpu", jax.devices()
+
+from functools import partial
+
+from cloudsc2jax.drivers import DSCALE
+from cloudsc2jax.pallas.cloudsc2_kernel import encode_blocked_inputs
+from cloudsc2jax.pallas.tlad_kernel import (
+    cloudsc2_pallas_ad,
+    cloudsc2_pallas_ad_encoded,
+    cloudsc2_pallas_tl,
+    cloudsc2_pallas_tl_encoded,
+    cloudsc2_pallas_tlad_fused,
+)
+from cloudsc2jax.state import Cloudsc2State
+
+S = 64
+VMEM = 100 * 1024 * 1024
+st = Cloudsc2State.synthetic(ngptot=100, nlev=137)
+params = st.params
+blk = st.device_kernel_inputs(16384, dtype=np.float32, blocked_sublanes=S)
+
+
+@jax.jit
+def tree_relerr(got, want):
+    # max over fields of sum|a-b| / sum|b|, accumulated on device
+    errs = [
+        jnp.sum(jnp.abs(a - b)) / jnp.maximum(jnp.sum(jnp.abs(b)), 1e-30)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want))
+    ]
+    return jnp.max(jnp.stack(errs))
+
+
+def unit(**tl_kw):
+    out, dout, ck = cloudsc2_pallas_tl(
+        blk, None, params, lregcl=True, blocked=True, sublanes=S,
+        save_checkpoints=True, dscale=DSCALE, **tl_kw,
+    )
+    _, adj = cloudsc2_pallas_ad(
+        blk, dout, params, lregcl=True, blocked=True, sublanes=S,
+        checkpoints=ck, fold_seeds=True,
+        chunk_levels=tl_kw.get("chunk_levels", 1),
+    )
+    return dout, adj
+
+
+dout_x, adj_x = unit()
+jax.block_until_ready(adj_x.pt)
+
+for name, kw in (("chunk2", dict(chunk_levels=2)),
+                 ("noprim", dict(write_primal=False))):
+    dout_v, adj_v = unit(**kw)
+    print(f"VARIANT {name} tan {float(tree_relerr(dout_v, dout_x)):.3e} "
+          f"adj {float(tree_relerr(adj_v, adj_x)):.3e}", flush=True)
+
+_, dout_f, adj_f = cloudsc2_pallas_tlad_fused(
+    blk, params, lregcl=True, sublanes=S, dscale=DSCALE,
+    vmem_limit_bytes=VMEM,
+)
+print(f"VARIANT fused tan {float(tree_relerr(dout_f, dout_x)):.3e} "
+      f"adj {float(tree_relerr(adj_f, adj_x)):.3e}", flush=True)
+
+enc = jax.jit(partial(encode_blocked_inputs, params=params,
+                      fuse_satur=False))(blk)
+_, dout_e, ck_e = cloudsc2_pallas_tl_encoded(
+    enc, params, dscale=DSCALE, lregcl=True,
+)
+_, adj_e = cloudsc2_pallas_ad_encoded(
+    enc, dout_e, params, checkpoints=ck_e, lregcl=True, fold_seeds=True,
+)
+print(f"VARIANT enc tan {float(tree_relerr(dout_e, dout_x)):.3e} "
+      f"adj {float(tree_relerr(adj_e, adj_x)):.3e}", flush=True)
+print("TPU_VARIANTS_OK", flush=True)
+"""
+
+
+def test_on_chip_variants_match_production_unit(tmp_path):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the axon hook pick the chip
+    env.pop("XLA_FLAGS", None)
+    script = tmp_path / "tpu_variants_worker.py"
+    script.write_text(_WORKER)
+    r = subprocess.run(
+        [sys.executable, str(script)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0 and "TPU_VARIANTS_OK" in r.stdout, (
+        f"TPU variants run failed:\n{r.stdout[-1500:]}\n{r.stderr[-3000:]}"
+    )
+    seen = set()
+    for m in re.finditer(
+        r"VARIANT (\w+) tan ([\d.e+-]+) adj ([\d.e+-]+)", r.stdout
+    ):
+        name, tan, adj = m.group(1), float(m.group(2)), float(m.group(3))
+        tol_tan, tol_adj = TOLS[name]
+        assert tan <= tol_tan, (name, "tangent", tan, tol_tan)
+        assert adj <= tol_adj, (name, "adjoint", adj, tol_adj)
+        seen.add(name)
+    assert seen == set(TOLS), f"variants missing from output: {TOLS.keys() - seen}"
