@@ -152,3 +152,26 @@ def test_encoded_inputs_match_exact_kernel():
             b = np.asarray(b, np.float64)
             denom = max(np.abs(b).sum(), 1e-30)
             assert np.abs(a - b).sum() / denom < 5e-4, (keep, name)
+
+
+def test_window_probe_streams_distinct_windows(monkeypatch):
+    """The window-matched ceiling probe (tools/bw_probe.py, VERDICT r2
+    item 3) must move every (level, block) window — its in-probe
+    self-check would fail if the BlockSpec index map clamped against
+    the wrong dim (the (b, k) vs (k, b) ordering bug: consecutive grid
+    steps then repeat a block index and Mosaic elides the DMA, inflating
+    the reported ceiling).  Run it tiny, fwd and rev, in interpret."""
+    import importlib
+
+    bw_probe = importlib.import_module("tools.bw_probe")
+
+    for rev in ("0", "1"):
+        monkeypatch.setenv("CLOUDSC2_BW_PROBE_WINDOWS", "3x2")
+        monkeypatch.setenv("CLOUDSC2_BW_PROBE_NLEV", "5")
+        monkeypatch.setenv("CLOUDSC2_BW_PROBE_NB", "3")
+        monkeypatch.setenv("CLOUDSC2_BW_PROBE_SUBLANES", "2")
+        monkeypatch.setenv("CLOUDSC2_BW_PROBE_REPEATS", "1")
+        monkeypatch.setenv("CLOUDSC2_BW_PROBE_INTERPRET", "1")
+        monkeypatch.setenv("CLOUDSC2_BW_PROBE_REV", rev)
+        rec = bw_probe.window_probe()
+        assert rec["mode"] == "windows" and rec["rev"] == (rev == "1")

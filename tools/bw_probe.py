@@ -52,8 +52,12 @@ def window_probe():
         or jax.devices()[0].platform != "tpu"
 
     blk = (1, 1, S, 128)
-    im = (lambda b, k: (b, nlev - 1 - k, 0, 0)) if rev \
-        else (lambda b, k: (b, k, 0, 0))
+    # arrays are (nlev, nb, S, 128) like the physics kernels' level
+    # streams — the block index must be (level, block) exactly as
+    # tlad_kernel's lev_s maps (kk, b); (b, k) order would clamp k
+    # against the nb-sized dim and let Mosaic elide the repeated DMA
+    im = (lambda b, k: (nlev - 1 - k, b, 0, 0)) if rev \
+        else (lambda b, k: (k, b, 0, 0))
     spec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -84,15 +88,26 @@ def window_probe():
         for i in range(R)
     ]
 
+    if interpret:
+        # self-check: every (level, block) window must carry its own
+        # data — catches index-map/layout bugs (a clamped index leaves
+        # most windows equal to the last in-range one)
+        s0 = 2.0
+        outs = call(jnp.full((1,), s0, jnp.float32), *arrs)
+        for j, o in enumerate(outs):
+            want = arrs[j % R] * s0 + arrs[(j + 1) % R]
+            np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                                       rtol=1e-6)
+
     acc = jnp.float32(0.0)
     for i in range(8):
-        acc = acc + step(jnp.float32(1e-7 * (i + 1)) * jnp.ones((1,)), *arrs)
+        acc = acc + step(jnp.full((1,), 1e-7 * (i + 1), jnp.float32), *arrs)
     assert np.isfinite(float(acc))
 
     acc = jnp.float32(0.0)
     t0 = time.perf_counter()
     for i in range(repeats):
-        acc = acc + step(jnp.float32(1e-6 * (i + 1)) * jnp.ones((1,)), *arrs)
+        acc = acc + step(jnp.full((1,), 1e-6 * (i + 1), jnp.float32), *arrs)
     assert np.isfinite(float(acc))
     dt = (time.perf_counter() - t0) / repeats
 
