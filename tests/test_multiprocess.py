@@ -93,7 +93,7 @@ def _free_port():
     return port
 
 
-def _spawn_pair(cmds, env, timeout=560):
+def _spawn_pair(cmds, env, timeout=840):
     procs = [
         subprocess.Popen(
             c, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -208,7 +208,7 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert "TOTAL @" not in out1
 
 
-def _spawn_cli_pair(cmd_tail, extra_env=None, timeout=560, nproc=2,
+def _spawn_cli_pair(cmd_tail, extra_env=None, timeout=840, nproc=2,
                     ndev_per_proc=2):
     port = _free_port()
     env = _mp_env()
