@@ -222,7 +222,14 @@ def main():
         "unit": "columns/s/chip",
         "vs_baseline": round(cols_per_s / baseline_cols_per_s, 3),
         "ngptot": ngptot,
+        # explicit so a tunnel-down CPU-fallback record can never be
+        # mistaken for a TPU regression (vs_baseline is chip-denominated)
+        "platform": platform,
     }
+    if platform != "tpu":
+        record["note"] = ("CPU fallback (TPU tunnel unreachable at bench "
+                          "time) — not the headline chip number; see "
+                          "BENCH_r02.json for the last on-chip record")
     # measured-baseline provenance (tools/measure_baseline.py): the
     # denominator above is the 4-strong-thread ESTIMATE; these are real
     # single-core measurements of the reference's own NumPy port and the
@@ -320,6 +327,9 @@ def _bench_chunked(variant, repeats):
         "ngptot": cols,
         "chunk": chunk,
         "mesh_devices": 1 if mesh is None else int(mesh.devices.size),
+        "platform": platform,
+        **({} if platform == "tpu" else
+           {"note": "CPU fallback (TPU tunnel unreachable at bench time)"}),
     }))
 
 
