@@ -53,12 +53,13 @@ def main():
     # first — a downed tunnel hangs backend init unrecoverably otherwise
     plat_env = (os.environ.get("JAX_PLATFORMS") or "").strip().lower()
     wants_tpu = plat_env in ("", "axon", "tpu")
+    fell_back = False
     if wants_tpu and os.environ.get("CLOUDSC2_BENCH_PREFLIGHT", "1") == "1":
         t = int(os.environ.get("CLOUDSC2_BENCH_PREFLIGHT_TIMEOUT", 420))
         if not _tpu_reachable(t):
             print(f"bench.py: accelerator preflight failed within {t}s "
                   "(tunnel down?) — falling back to CPU", file=sys.stderr)
-            plat_env, wants_tpu = "cpu", False
+            plat_env, wants_tpu, fell_back = "cpu", False, True
     if plat_env:
         jax.config.update("jax_platforms", plat_env)
 
@@ -91,7 +92,7 @@ def main():
     platform = jax.devices()[0].platform
 
     if variant.startswith("chunked"):
-        _bench_chunked(variant, repeats)
+        _bench_chunked(variant, repeats, fell_back)
         return
 
     # expand the 100 stored columns to ngptot ON DEVICE: host-side
@@ -115,8 +116,14 @@ def main():
         else:
             backend = "xla"
         # CLOUDSC2_BENCH_WRITE_PRIMAL=0: the reference AD-driver contract
-        # (δy and x̄ only) — sheds the 8 primal output streams
+        # (δy and x̄ only) — sheds the 8 primal output streams; only the
+        # blocked pallas kernels can honor it (run_tlad rejects the rest)
         wp = os.environ.get("CLOUDSC2_BENCH_WRITE_PRIMAL", "1") == "1"
+        if not wp and backend != "pallas_blocked":
+            print("bench.py: CLOUDSC2_BENCH_WRITE_PRIMAL=0 needs the "
+                  f"blocked pallas backend (got {backend}) — ignoring",
+                  file=sys.stderr)
+            wp = True
         fn = partial(run_tlad, params=state.params, lregcl=True,
                      backend=backend, sublanes=sublanes, write_primal=wp)
         # the flag only affects the blocked pallas kernels
@@ -226,10 +233,12 @@ def main():
         # mistaken for a TPU regression (vs_baseline is chip-denominated)
         "platform": platform,
     }
-    if platform != "tpu":
+    if fell_back:
         record["note"] = ("CPU fallback (TPU tunnel unreachable at bench "
                           "time) — not the headline chip number; see "
                           "BENCH_r02.json for the last on-chip record")
+    elif platform != "tpu":
+        record["note"] = "deliberate non-TPU run (JAX_PLATFORMS set)"
     # measured-baseline provenance (tools/measure_baseline.py): the
     # denominator above is the 4-strong-thread ESTIMATE; these are real
     # single-core measurements of the reference's own NumPy port and the
@@ -246,13 +255,16 @@ def main():
         try:
             from cloudsc2jax.cli import measure_f32_verdicts
 
-            v_inputs = state.device_kernel_inputs(
-                min(ngptot, 16384), dtype=np.float32
-            )
+            v_ncol = min(ngptot, 16384)
+            v_inputs = state.device_kernel_inputs(v_ncol, dtype=np.float32)
             record["f32_verdicts"] = {
                 k: (float(f"{v:.6e}") if isinstance(v, float) else v)
                 for k, v in measure_f32_verdicts(state, v_inputs).items()
             }
+            # the identity error scales with the dot-product length —
+            # record the config so cross-round comparisons are apples-
+            # to-apples even when ngptot shrinks a round
+            record["f32_verdicts"]["ngptot"] = v_ncol
         except Exception as e:
             print(f"bench.py: f32 verdict measurement failed ({e!r})",
                   file=sys.stderr)
@@ -280,7 +292,7 @@ def main():
     print(json.dumps(record))
 
 
-def _bench_chunked(variant, repeats):
+def _bench_chunked(variant, repeats, fell_back=False):
     """>HBM streaming benchmark: CLOUDSC2_BENCH_VARIANT=chunked (NL) or
     chunked_tlad, streaming CLOUDSC2_BENCH_NGPTOT (default 1M+) columns
     as device-generated chunks over the device mesh (run_chunked's
@@ -297,7 +309,11 @@ def _bench_chunked(variant, repeats):
     inner = "tlad" if variant.endswith("tlad") else "nl"
     default_n = 1310720 if platform == "tpu" else 2048
     ngptot = int(os.environ.get("CLOUDSC2_BENCH_NGPTOT", default_n))
-    chunk = int(os.environ.get("CLOUDSC2_BENCH_CHUNK", 327680))
+    # run_chunked rounds the column count UP to whole chunks — an
+    # unclamped 327k default chunk on the CPU fallback would execute
+    # 160x the intended work in interpret mode (hours on one core)
+    default_chunk = 327680 if platform == "tpu" else min(327680, ngptot)
+    chunk = int(os.environ.get("CLOUDSC2_BENCH_CHUNK", default_chunk))
     interpret = platform != "tpu"
     sublanes = os.environ.get("CLOUDSC2_BENCH_SUBLANES")
     sublanes = int(sublanes) if sublanes else (1 if interpret else None)
@@ -317,19 +333,25 @@ def _bench_chunked(variant, repeats):
         assert np.isfinite(s)
     dt = (time.perf_counter() - t0) / repeats
 
+    ndev = 1 if mesh is None else int(mesh.devices.size)
     cols_per_s = cols / dt
     baseline = 300_000.0
     print(json.dumps({
         "metric": f"{inner}_columns_per_second_chunked_{platform}",
-        "value": round(cols_per_s, 1),
+        # per-chip so vs_baseline stays chip-denominated when the chunk
+        # pipeline shards over a mesh; the mesh aggregate rides along
+        "value": round(cols_per_s / ndev, 1),
         "unit": "columns/s/chip",
-        "vs_baseline": round(cols_per_s / baseline, 3),
+        "vs_baseline": round(cols_per_s / ndev / baseline, 3),
+        "mesh_columns_per_second": round(cols_per_s, 1),
         "ngptot": cols,
         "chunk": chunk,
-        "mesh_devices": 1 if mesh is None else int(mesh.devices.size),
+        "mesh_devices": ndev,
         "platform": platform,
-        **({} if platform == "tpu" else
-           {"note": "CPU fallback (TPU tunnel unreachable at bench time)"}),
+        **({"note": "CPU fallback (TPU tunnel unreachable at bench time)"}
+           if fell_back else
+           {} if platform == "tpu" else
+           {"note": "deliberate non-TPU run (JAX_PLATFORMS set)"}),
     }))
 
 

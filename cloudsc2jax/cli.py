@@ -523,9 +523,14 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks)
         out, dout, adj = res
         rel, finite = _adjoint_identity(jax, state, inputs, dout, adj)
-        # f64: 1e-10 ≈ 10⁴ε₆₄ reference semantics; f32: the measured
-        # identity distribution with margin (PALLAS_AD_IDENTITY_TOL)
-        tol = 1e-10 if args.dtype == "f64" else PALLAS_AD_IDENTITY_TOL
+        # f64: 1e-10 ≈ 10⁴ε₆₄ reference semantics; f32 pallas: the
+        # measured identity distribution with margin
+        # (PALLAS_AD_IDENTITY_TOL); f32 xla: the jvp/vjp pair has no
+        # per-round tracked distribution, so give it one extra decade —
+        # still 3+ orders under any real regression (a broken damp site
+        # shows up at >1e-4)
+        tol = (1e-10 if args.dtype == "f64"
+               else PALLAS_AD_IDENTITY_TOL if args.pallas else 1e-5)
         ok = finite and rel < tol
         if rank0:
             print(

@@ -205,6 +205,14 @@ def run_tlad(
     contract (δy and x̄ only, cloudsc_driver_ad_mod.F90:160-256); the
     returned ``outputs`` is then None.
     """
+    if not write_primal and backend != "pallas_blocked":
+        # never silently hand back full primal outputs under a flag that
+        # promises they were shed — callers comparing the noprim
+        # contract across backends would time a different work unit
+        raise ValueError(
+            "write_primal=False requires backend='pallas_blocked' "
+            f"(got {backend!r})"
+        )
     key = (id(params), lregcl, ldrain1d, remat, nproma, backend, sublanes,
            id(mesh), interpret, write_primal)
     hit = _TLAD_CACHE.get(key)

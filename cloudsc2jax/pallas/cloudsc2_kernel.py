@@ -653,9 +653,7 @@ def cloudsc2_pallas_encoded(
     notlast = (jnp.arange(nlev) < nlev - 1).astype(jnp.int32)
 
     blk = (1, 1, sublanes, 128)
-    lev = lambda b, k: (k, b, 0, 0)
-    plu = lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0)
-    hi = lambda b, k: (k + 1, b, 0, 0)
+    lev, plu, hi = _level_index_maps(nlev, rev=False)
     mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
     col_s = pl.BlockSpec(
         (1, sublanes, 128), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM
@@ -665,15 +663,7 @@ def cloudsc2_pallas_encoded(
     n_names = len(streams) - 2  # level fields; then plu, paph
     nf = n_names + 3
 
-    # lane-broadcast decode rows (see _stream_kernel docstring): the
-    # compact (nf, nlev+1, 2) table becomes (nlev+1, 2*nf, 128) so the
-    # kernel reads whole (128,) scale/offset lanes — a ~19 KB/step DMA,
-    # ~3% of the halved stream bytes
-    table = enc_inputs.enc  # (nf, nlev+1, 2)
-    enc_lev = jnp.broadcast_to(
-        jnp.transpose(table, (1, 0, 2)).reshape(nlev + 1, 2 * nf)[..., None],
-        (nlev + 1, 2 * nf, 128),
-    )
+    enc_lev = enc_table_rows(enc_inputs.enc, nlev)  # (nlev+1, 2*nf, 128)
     enclev_s = pl.BlockSpec(
         (1, 2 * nf, 128), lambda b, k: (k, 0, 0), memory_space=pltpu.VMEM
     )
@@ -746,6 +736,35 @@ def cloudsc2_pallas_encoded(
 
 
 # ------------------------------------------------------------------ layout
+def _level_index_maps(nlev: int, rev: bool):
+    """The (level, block) BlockSpec index maps shared by EVERY blocked
+    sweep (NL, TL, AD, encoded): the plain level window, the clamped
+    plu(k+1) shift, and the paph(k+1) high-edge window — forward, or
+    with the level axis reversed (DO JK=KLEV,1,-1).  One definition so a
+    clamp fix propagates to all sweeps at once."""
+    if rev:
+        lev = lambda b, k: (nlev - 1 - k, b, 0, 0)
+        plu = lambda b, k: (jnp.minimum(nlev - k, nlev - 1), b, 0, 0)
+        hi = lambda b, k: (nlev - k, b, 0, 0)
+    else:
+        lev = lambda b, k: (k, b, 0, 0)
+        plu = lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0)
+        hi = lambda b, k: (k + 1, b, 0, 0)
+    return lev, plu, hi
+
+
+def enc_table_rows(table, nlev: int):
+    """Lane-broadcast decode rows (see _stream_kernel docstring): the
+    compact (nf, nlev+1, 2) affine table becomes (nlev+1, 2*nf, 128) so
+    kernels read whole (128,) scale/offset lanes — a ~19 KB/step DMA,
+    ~3% of the halved stream bytes."""
+    nf = table.shape[0]
+    return jnp.broadcast_to(
+        jnp.transpose(table, (1, 0, 2)).reshape(nlev + 1, 2 * nf)[..., None],
+        (nlev + 1, 2 * nf, 128),
+    )
+
+
 class _Layout:
     """Blocked levels-major layout shared by the NL and TL/AD wrappers:
     transpose to
@@ -819,15 +838,7 @@ class _Layout:
     # BlockSpecs.  ``rev`` runs the level axis backwards (DO JK=KLEV,1,-1).
     def specs(self, rev: bool):
         blk = (1, 1, self.sublanes, 128)
-        nlev = self.nlev
-        if rev:
-            lev = lambda b, k: (nlev - 1 - k, b, 0, 0)
-            plu = lambda b, k: (jnp.minimum(nlev - k, nlev - 1), b, 0, 0)
-            hi = lambda b, k: (nlev - k, b, 0, 0)
-        else:
-            lev = lambda b, k: (k, b, 0, 0)
-            plu = lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0)
-            hi = lambda b, k: (k + 1, b, 0, 0)
+        lev, plu, hi = _level_index_maps(self.nlev, rev)
         mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
         lev_s, plu_s, hi_s = mk(lev), mk(plu), mk(hi)
         col_s = pl.BlockSpec(

@@ -945,12 +945,9 @@ class _EncGeometry:
         # paph(k), paph(k+1) — paph stream passed twice
         self.operands = (*streams[:N_LEVEL_FIELDS], streams[-2],
                          streams[-1], streams[-1])
-        nf = _NF
-        table = enc_inputs.enc  # (nf, nlev+1, 2)
-        self.enclev = jnp.broadcast_to(
-            jnp.transpose(table, (1, 0, 2)).reshape(nlev + 1, 2 * nf)[..., None],
-            (nlev + 1, 2 * nf, 128),
-        )
+        from .cloudsc2_kernel import enc_table_rows
+
+        self.enclev = enc_table_rows(enc_inputs.enc, nlev)
         self.ztrpaus_b = enc_inputs.ztrpaus
         self.paphsfc_b = enc_inputs.paphsfc
 
@@ -960,18 +957,14 @@ class _EncGeometry:
                 self.notlast.reshape(n, 1))
 
     def specs(self, rev: bool):
+        from .cloudsc2_kernel import _level_index_maps
+
         blk = (1, 1, self.sublanes, 128)
         nlev = self.nlev
-        if rev:
-            lev = lambda b, k: (nlev - 1 - k, b, 0, 0)
-            plu = lambda b, k: (jnp.minimum(nlev - k, nlev - 1), b, 0, 0)
-            hi = lambda b, k: (nlev - k, b, 0, 0)
-            enc = lambda b, k: (nlev - 1 - k, 0, 0)
-        else:
-            lev = lambda b, k: (k, b, 0, 0)
-            plu = lambda b, k: (jnp.minimum(k + 1, nlev - 1), b, 0, 0)
-            hi = lambda b, k: (k + 1, b, 0, 0)
-            enc = lambda b, k: (k, 0, 0)
+        lev, plu, hi = _level_index_maps(nlev, rev)
+        # decode-table window: same level walk, no block axis
+        enc = ((lambda b, k: (nlev - 1 - k, 0, 0)) if rev
+               else (lambda b, k: (k, 0, 0)))
         mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
         lev_s = [mk(lev)] * N_LEVEL_FIELDS + [mk(plu), mk(lev), mk(hi)]
         col_s = pl.BlockSpec(

@@ -270,13 +270,19 @@ def test_run_chunked_mesh_invariant(mesh):
     from cloudsc2jax.state import Cloudsc2State
 
     st = Cloudsc2State.synthetic(ngptot=100, nlev=13)
-    n0, s0 = run_chunked(st, 1024, variant="nl", chunk=1024, sublanes=1,
+    n0, s0 = run_chunked(st, 2048, variant="nl", chunk=2048, sublanes=1,
                          interpret=True)
-    n1, s1 = run_chunked(st, 1024, variant="nl", chunk=1024, sublanes=1,
+    # one mesh chunk vs TWO mesh chunks: chunks are rounded to whole
+    # per-device multiples (gc = bc*ndev = 1024 here), so chunk=1024 is
+    # a real two-chunk decomposition whose second step advances every
+    # device's global block offset — the arithmetic a single-chunk run
+    # never exercises (a sub-gc chunk would silently round UP to gc and
+    # test nothing new)
+    n1, s1 = run_chunked(st, 2048, variant="nl", chunk=2048, sublanes=1,
                          interpret=True, mesh=mesh)
-    n2, s2 = run_chunked(st, 1024, variant="nl", chunk=512, sublanes=1,
+    n2, s2 = run_chunked(st, 2048, variant="nl", chunk=1024, sublanes=1,
                          interpret=True, mesh=mesh)
-    assert n0 == n1 == n2 == 1024
+    assert n0 == n1 == n2 == 2048
     np.testing.assert_allclose(s1, s0, rtol=1e-5)
     np.testing.assert_allclose(s2, s0, rtol=1e-5)
 
