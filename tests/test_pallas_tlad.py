@@ -479,3 +479,17 @@ def test_dscale_matches_explicit_increments(state):
     with pytest.raises(ValueError):
         cloudsc2_pallas_tl(blk, di, params, blocked=True, dscale=0.01,
                            interpret=True)
+
+
+def test_run_tlad_rejects_unhonorable_write_primal(state):
+    """run_tlad must refuse write_primal=False on backends that cannot
+    shed the primal streams (only the blocked Pallas kernels can) —
+    silently returning full primals under the noprim flag would let a
+    caller time/compare a different work unit."""
+    from cloudsc2jax.drivers import run_tlad
+
+    inputs = state.kernel_inputs(dtype=np.float32)
+    for backend in ("xla", "pallas"):
+        with pytest.raises(ValueError, match="write_primal"):
+            run_tlad(inputs, state.params, backend=backend,
+                     write_primal=False, interpret=True)
