@@ -175,3 +175,27 @@ def test_window_probe_streams_distinct_windows(monkeypatch):
         monkeypatch.setenv("CLOUDSC2_BW_PROBE_REV", rev)
         rec = bw_probe.window_probe()
         assert rec["mode"] == "windows" and rec["rev"] == (rev == "1")
+
+
+@pytest.mark.parametrize("seed,nlev,ncol,ldrain1d", [
+    (7, 11, 97, False),     # odd ncol: tail padding inside one block
+    (11, 21, 259, True),    # two padded blocks + the LDRAIN1D branch
+    (13, 5, 130, False),    # shallow atmosphere, one-column tail
+])
+def test_pallas_matches_scan_random_states(seed, nlev, ncol, ldrain1d):
+    """Fuzz the Pallas NL kernel against the lax.scan kernel on fresh
+    random states at odd shapes — the fixture-state parity tests all run
+    the same 100x137 state, so a masking/padding bug conditioned on the
+    data or on non-standard shapes could hide there."""
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=ncol, nlev=nlev, seed=seed)
+    inputs = st.kernel_inputs(dtype=np.float32)
+    ref = cloudsc2(inputs, st.params, ldrain1d=ldrain1d)
+    out = cloudsc2_pallas(inputs, st.params, ldrain1d=ldrain1d,
+                          interpret=True)
+    for name, a, b in zip(out._fields, out, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape == (ncol, b.shape[1])
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 5e-6, (seed, nlev, ncol, name)
