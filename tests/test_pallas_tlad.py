@@ -493,3 +493,32 @@ def test_run_tlad_rejects_unhonorable_write_primal(state):
         with pytest.raises(ValueError, match="write_primal"):
             run_tlad(inputs, state.params, backend=backend,
                      write_primal=False, interpret=True)
+
+
+@pytest.mark.parametrize("seed,nlev,ncol", [(7, 11, 97), (13, 19, 141)])
+def test_tlad_kernels_match_autodiff_random_states(seed, nlev, ncol):
+    """Fuzz the fused TL and reverse-AD kernels against jax.jvp/vjp of
+    the scan kernel on fresh random states at odd shapes (the fixed
+    fixture/synthetic shapes of the parity tests above could hide a
+    data- or padding-conditioned masking bug in the derivative paths)."""
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=ncol, nlev=nlev, seed=seed)
+    inputs = st.kernel_inputs(dtype=np.float32)
+    di = jax.tree.map(lambda x: 0.01 * jnp.asarray(x), inputs)
+
+    out_ref, dout_ref = cloudsc2_tl(inputs, di, st.params, lregcl=True)
+    out, dout = cloudsc2_pallas_tl(
+        inputs, di, st.params, lregcl=True, sublanes=1, interpret=True
+    )
+    _assert_tree_close(out, out_ref, 5e-6, ("primal", seed))
+    _assert_tree_close(dout, dout_ref, 5e-5, ("tangent", seed))
+
+    _, adj_ref = cloudsc2_ad(inputs, dout_ref, st.params, lregcl=True)
+    _, adj = cloudsc2_pallas_ad(
+        inputs, dout_ref, st.params, lregcl=True, sublanes=1, interpret=True
+    )
+    for name, a, b in zip(adj_ref._fields, adj, adj_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-4, (seed, name)
