@@ -23,13 +23,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# the reference's 4-strong-OpenMP-thread CPU estimate derived from its
+# own ZHPM flop accounting (module header) — the single vs_baseline
+# denominator for the headline AND chunked records (ADVICE r3)
+BASELINE_COLS_PER_S = 300_000.0
 
-def _tpu_reachable(timeout_s: int) -> bool:
+# preflight outcome -> human-readable fallback cause (ADVICE r3: a
+# timeout means the tunnel hangs; rc=3 means a backend answered but is
+# not a TPU — e.g. the axon plugin is not registered in this context;
+# conflating them mislabeled BENCH_r03)
+_PREFLIGHT_NOTES = {
+    "timeout": "TPU tunnel unreachable (probe timed out)",
+    "no-tpu-backend": "no TPU backend registered in this context "
+                      "(axon plugin absent — probe saw a non-TPU backend)",
+    "crash": "TPU probe process crashed",
+}
+
+
+def _tpu_preflight(timeout_s: int) -> str:
     """Preflight the accelerator in a SUBPROCESS: when the axon tunnel is
     down, backend init blocks indefinitely inside make_c_api_client — a
     hang no in-process timeout can interrupt.  A throwaway probe process
     takes the risk instead; on failure the bench falls back to CPU and
-    says so, rather than hanging the whole round."""
+    says WHY ('ok' / 'timeout' / 'no-tpu-backend' / 'crash'), rather than
+    hanging the whole round."""
     import subprocess
 
     try:
@@ -40,9 +57,13 @@ def _tpu_reachable(timeout_s: int) -> bool:
             timeout=timeout_s, capture_output=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        return r.returncode == 0
+        if r.returncode == 0:
+            return "ok"
+        return "no-tpu-backend" if r.returncode == 3 else "crash"
+    except subprocess.TimeoutExpired:
+        return "timeout"
     except Exception:
-        return False
+        return "crash"
 
 
 def main():
@@ -54,11 +75,14 @@ def main():
     plat_env = (os.environ.get("JAX_PLATFORMS") or "").strip().lower()
     wants_tpu = plat_env in ("", "axon", "tpu")
     fell_back = False
+    fallback_cause = None
     if wants_tpu and os.environ.get("CLOUDSC2_BENCH_PREFLIGHT", "1") == "1":
         t = int(os.environ.get("CLOUDSC2_BENCH_PREFLIGHT_TIMEOUT", 420))
-        if not _tpu_reachable(t):
-            print(f"bench.py: accelerator preflight failed within {t}s "
-                  "(tunnel down?) — falling back to CPU", file=sys.stderr)
+        outcome = _tpu_preflight(t)
+        if outcome != "ok":
+            fallback_cause = _PREFLIGHT_NOTES[outcome]
+            print(f"bench.py: accelerator preflight failed within {t}s: "
+                  f"{fallback_cause} — falling back to CPU", file=sys.stderr)
             plat_env, wants_tpu, fell_back = "cpu", False, True
     if plat_env:
         jax.config.update("jax_platforms", plat_env)
@@ -92,7 +116,7 @@ def main():
     platform = jax.devices()[0].platform
 
     if variant.startswith("chunked"):
-        _bench_chunked(variant, repeats, fell_back)
+        _bench_chunked(variant, repeats, fell_back, fallback_cause)
         return
 
     # expand the 100 stored columns to ngptot ON DEVICE: host-side
@@ -222,7 +246,7 @@ def main():
     dt = (time.perf_counter() - t0) / repeats
 
     cols_per_s = ngptot / dt
-    baseline_cols_per_s = 300_000.0  # reference 4-thread CPU estimate (see header)
+    baseline_cols_per_s = BASELINE_COLS_PER_S
     record = {
         "metric": f"{variant}_columns_per_second_{impl}_{platform}",
         "value": round(cols_per_s, 1),
@@ -234,9 +258,9 @@ def main():
         "platform": platform,
     }
     if fell_back:
-        record["note"] = ("CPU fallback (TPU tunnel unreachable at bench "
-                          "time) — not the headline chip number; see "
-                          "BENCH_r02.json for the last on-chip record")
+        record["note"] = (f"CPU fallback ({fallback_cause} at bench time)"
+                          " — not the headline chip number; see the last"
+                          " on-chip BENCH_r*/ONCHIP_r* record")
     elif platform != "tpu":
         record["note"] = "deliberate non-TPU run (JAX_PLATFORMS set)"
     # measured-baseline provenance (tools/measure_baseline.py): the
@@ -257,14 +281,30 @@ def main():
 
             v_ncol = min(ngptot, 16384)
             v_inputs = state.device_kernel_inputs(v_ncol, dtype=np.float32)
-            record["f32_verdicts"] = {
+            fv = {
                 k: (float(f"{v:.6e}") if isinstance(v, float) else v)
                 for k, v in measure_f32_verdicts(state, v_inputs).items()
             }
             # the identity error scales with the dot-product length —
             # record the config so cross-round comparisons are apples-
             # to-apples even when ngptot shrinks a round
-            record["f32_verdicts"]["ngptot"] = v_ncol
+            fv["ngptot"] = v_ncol
+            # tracked tolerance margins (VERDICT r3 item 5): the CLI
+            # tolerances were deliberately set ~5-10x above the round-2
+            # measured distribution, so the gate here is margin >= 4x —
+            # a genuine regression (e.g. a broken damp site) collapses
+            # the margin to <1 long before run-to-run spread can
+            fv["tl_parity_margin"] = round(
+                fv["tl_parity_tol"] / max(fv["tl_parity_rel_err"], 1e-30), 1)
+            fv["ad_identity_margin"] = round(
+                fv["ad_identity_tol"] / max(fv["ad_identity_rel_err"], 1e-30),
+                1)
+            fv["margin_ok"] = bool(fv["tl_parity_margin"] >= 4.0
+                                   and fv["ad_identity_margin"] >= 4.0)
+            if not fv["margin_ok"]:
+                print("bench.py: WARNING — f32 verdict margin < 4x the "
+                      f"tracked distribution: {fv}", file=sys.stderr)
+            record["f32_verdicts"] = fv
         except Exception as e:
             print(f"bench.py: f32 verdict measurement failed ({e!r})",
                   file=sys.stderr)
@@ -292,7 +332,7 @@ def main():
     print(json.dumps(record))
 
 
-def _bench_chunked(variant, repeats, fell_back=False):
+def _bench_chunked(variant, repeats, fell_back=False, fallback_cause=None):
     """>HBM streaming benchmark: CLOUDSC2_BENCH_VARIANT=chunked (NL) or
     chunked_tlad, streaming CLOUDSC2_BENCH_NGPTOT (default 1M+) columns
     as device-generated chunks over the device mesh (run_chunked's
@@ -335,7 +375,7 @@ def _bench_chunked(variant, repeats, fell_back=False):
 
     ndev = 1 if mesh is None else int(mesh.devices.size)
     cols_per_s = cols / dt
-    baseline = 300_000.0
+    baseline = BASELINE_COLS_PER_S
     print(json.dumps({
         "metric": f"{inner}_columns_per_second_chunked_{platform}",
         # per-chip so vs_baseline stays chip-denominated when the chunk
@@ -348,7 +388,7 @@ def _bench_chunked(variant, repeats, fell_back=False):
         "chunk": chunk,
         "mesh_devices": ndev,
         "platform": platform,
-        **({"note": "CPU fallback (TPU tunnel unreachable at bench time)"}
+        **({"note": f"CPU fallback ({fallback_cause} at bench time)"}
            if fell_back else
            {} if platform == "tpu" else
            {"note": "deliberate non-TPU run (JAX_PLATFORMS set)"}),

@@ -921,9 +921,13 @@ class _EncGeometry:
         from .cloudsc2_kernel import _ZEPS1, _ZSCAL
 
         streams = enc_inputs.streams
-        assert len(streams) == N_LEVEL_FIELDS + 2, (
-            "encoded TL/AD needs fuse_satur=False encoding (pqs kept)"
-        )
+        if len(streams) != N_LEVEL_FIELDS + 2:
+            # a contract violation, not a debug check: under `python -O`
+            # a bare assert would vanish and a fuse_satur=True encoding
+            # would silently misalign the 16-stream operand order
+            raise ValueError(
+                "encoded TL/AD needs fuse_satur=False encoding (pqs kept)"
+            )
         for name, s in (("pq", streams[1]), ("plu", streams[-2]),
                         ("paph", streams[-1])):
             if s.dtype != jnp.float32:

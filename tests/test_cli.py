@@ -166,6 +166,13 @@ def test_measure_f32_verdicts_contract(state):
     m = measure_f32_verdicts(state, inputs)
     assert m["finite"]
     assert m["tl_parity_tol"] == PALLAS_TL_PARITY_TOL
+    # the small CLI test config sits at/below the anchor size, so the
+    # scaled tolerance equals the base value here
     assert m["ad_identity_tol"] == PALLAS_AD_IDENTITY_TOL
-    assert 0.0 <= m["tl_parity_rel_err"] < PALLAS_TL_PARITY_TOL
-    assert 0.0 <= m["ad_identity_rel_err"] < PALLAS_AD_IDENTITY_TOL
+    # CPU interpret-mode values (~2.3e-7 TL) sit only ~4x under the
+    # on-chip tolerances; gate CI at 10x the tolerance so an XLA
+    # reduction-reassociation upgrade can't flake the default suite —
+    # the tight bound is enforced on-chip (bench.py margin tracking /
+    # tools/onchip_evidence.py)  [ADVICE r3]
+    assert 0.0 <= m["tl_parity_rel_err"] < 10 * PALLAS_TL_PARITY_TOL
+    assert 0.0 <= m["ad_identity_rel_err"] < 10 * PALLAS_AD_IDENTITY_TOL
