@@ -204,10 +204,43 @@ def _adjoint_identity(jax, state, inputs, dout, adj):
     contract, where the flux seeds' (1+L²) scaling is folded out of the
     rfln/sfln streams (dscale, DESIGN.md §7) and must be restored in the
     norm.  Returns ``(rel_err, finite)``.
+
+    Off-TPU single-process runs accumulate entirely on the host in f64:
+    XLA-CPU's f32 reductions are near-sequential, and at CLI sizes their
+    random-walk rounding (measured 2.4e-5 at 8192x137) would swamp the
+    kernel's actual adjoint error (~1e-7) and false-fail the verdict.
+    On TPU the jitted device path stands — its lane-parallel reductions
+    measure ~2e-7 at 163840 columns (the tracked distribution), and
+    fetching leaves through the tunnel is what this path exists to
+    avoid; multi-process always uses it (sharded leaves are
+    non-addressable on any one host).
     """
     import jax.numpy as jnp
 
     from .drivers import DSCALE as _DSCALE
+
+    if (jax.devices()[0].platform != "tpu"
+            and jax.process_count() == 1):
+        cst = state.params.yomcst
+        scale = {}
+        if hasattr(dout, "rfln"):
+            scale = {"rfln": 1.0 + float(cst.rlvtt) ** 2,
+                     "sfln": 1.0 + float(cst.rlstt) ** 2}
+        n1 = n2 = 0.0
+        fin = True
+        d_leaves = (dout._asdict().items() if hasattr(dout, "_asdict")
+                    else enumerate(jax.tree.leaves(dout)))
+        for name, x in d_leaves:
+            a = np.asarray(x, np.float64)
+            fin &= bool(np.isfinite(a).all())
+            n1 += scale.get(name, 1.0) * float(np.square(a).sum())
+        for x, ax in zip(jax.tree.leaves(inputs), jax.tree.leaves(adj)):
+            a = np.asarray(x, np.float64)
+            b = np.asarray(ax, np.float64)
+            fin &= bool(np.isfinite(b).all())
+            n2 += float(_DSCALE * (a * b).sum())
+        rel = abs(n1 - n2) / max(abs(n2), 1e-300)
+        return rel, bool(fin)
 
     @jax.jit
     def parts(i, d, a):

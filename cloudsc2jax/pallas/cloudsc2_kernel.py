@@ -52,9 +52,6 @@ from ..physics.cloudsc2 import (
 
 __all__ = [
     "cloudsc2_pallas",
-    "cloudsc2_pallas_encoded",
-    "encode_blocked_inputs",
-    "EncodedInputs",
     "Cloudsc2BlockedOutputs",
     "unblock_outputs",
 ]
@@ -354,7 +351,7 @@ def _stream_kernel(*refs, params: Params, ldrain1d: bool,
 
     ``encoded=True`` adds three VMEM operands — lane-broadcast rows of
     the per-(stream, level) affine decode table of
-    :func:`encode_blocked_inputs`, fetched at the same level indices as
+    :func:`.experiments.encode_blocked_inputs`, fetched at the same level indices as
     the streams they decode (k / min(k+1, nlev-1) / k+1) — and upcasts
     int16 streams in-register on load (``x*scale + offset``); the decode
     is a VPU convert+FMA per element, fully hidden behind the halved DMA
@@ -519,220 +516,6 @@ def unblock_outputs(
     if not levels_major:
         res = Cloudsc2Outputs(*(x.T for x in res))
     return res
-
-
-# ----------------------------------------------------- encoded-input path
-class EncodedInputs(NamedTuple):
-    """Blocked kernel operands with int16 affine-encoded streams.
-
-    Produced by :func:`encode_blocked_inputs`; consumed by
-    :func:`cloudsc2_pallas_encoded`.  ``streams`` follows the kernel's
-    operand order (level fields [pqs dropped when ``fuse_satur``], then
-    plu, paph); ``enc`` is the ``(n_streams+1, nlev+1, 2)`` float32
-    [scale, offset] table (one row per operand incl. the duplicated
-    paph(k+1) read); ``ztrpaus``/``paphsfc`` are the per-column f32
-    operands, precomputed before quantisation.
-    """
-
-    streams: tuple
-    enc: jax.Array
-    ztrpaus: jax.Array
-    paphsfc: jax.Array
-
-    @property
-    def fuse_satur(self) -> bool:
-        # inferred from the static stream count so EncodedInputs stays a
-        # pure array pytree (jit-safe): level fields (pqs dropped when
-        # fused) + plu + paph
-        return len(self.streams) == N_LEVEL_FIELDS + 1
-
-
-def encode_blocked_inputs(
-    inputs: Cloudsc2Inputs,
-    params: Params,
-    *,
-    keep_f32=("pq", "plu", "paph"),
-    fuse_satur: bool = True,
-    payload_dtype=jnp.int16,
-) -> EncodedInputs:
-    """Quantise blocked input streams to int16 per-(field, level) affine
-    anomalies (DESIGN.md §8 storage-encoding study).
-
-    For each stream and level, ``offset`` is the midrange and ``scale``
-    the halfrange/32767 over all columns — i.e. temperature is stored as
-    a 16-bit anomaly from a level-dependent reference profile, humidity
-    as a level-scaled anomaly, etc.  Streams named in ``keep_f32`` stay
-    float32; the default keeps pq (dominates the quantisation error at
-    ~8e-5 in the sensitivity sweep; everything else contributes <=2e-5)
-    plus plu and paph, whose f32 passthrough selects the measured-fastest
-    single-decode-window kernel configuration (DESIGN.md §8).  Raw bf16/f16
-    storage is NOT offered: measured NaN/overflow (f16 cannot even hold
-    pressure) — see tools/encoding_study.py.
-
-    The decode table and the tropopause/surface column operands are
-    computed from the exact f32 inputs here, outside the hot loop.
-    """
-    arrs = inputs._asdict()
-    nlev = arrs["pt"].shape[0]
-    names = [n for n in _LEVEL_FIELDS if not (fuse_satur and n == "pqs")]
-    order = names + ["plu", "paph"]
-
-    enc = jnp.zeros((len(order) + 1, nlev + 1, 2), jnp.float32)
-    enc = enc.at[:, :, 0].set(1.0)
-    streams = []
-    for i, name in enumerate(order):
-        x = jnp.asarray(arrs[name], jnp.float32)
-        if name in keep_f32:
-            streams.append(x)
-            continue
-        lo = x.min(axis=(1, 2, 3))
-        hi = x.max(axis=(1, 2, 3))
-        off = 0.5 * (hi + lo)
-        scale = jnp.maximum((hi - lo) / 65534.0, jnp.float32(1e-30))
-        payload = jnp.clip(
-            jnp.rint((x - off[:, None, None, None]) / scale[:, None, None, None]),
-            -32767, 32767,
-        )
-        # int16 is the accuracy-bearing payload (uniform 16-bit anomaly);
-        # bfloat16 payload is the convert-cost control experiment
-        # (DESIGN.md §8 study): same bytes, cheap convert, 64x coarser
-        q = payload.astype(payload_dtype)
-        streams.append(q)
-        enc = enc.at[i, : x.shape[0], 0].set(scale)
-        enc = enc.at[i, : x.shape[0], 1].set(off)
-    # the paph(k+1) operand re-reads the paph buffer: duplicate its row
-    # at the extra trailing slot so in-kernel i == n_streams-1+1 maps
-    enc = enc.at[len(order)].set(enc[len(order) - 1])
-
-    ztp1 = (jnp.asarray(arrs["pt"], jnp.float32)
-            + params.ptsphy * jnp.asarray(arrs["ten_t"], jnp.float32))
-    ceta = jnp.asarray(params.ceta, jnp.float32)
-    ztrpaus = _tropopause_eta_lm(ztp1, ceta)
-    paphsfc = jnp.asarray(arrs["paph"], jnp.float32)[nlev]
-    return EncodedInputs(
-        streams=tuple(streams), enc=enc, ztrpaus=ztrpaus, paphsfc=paphsfc,
-    )
-
-
-def cloudsc2_pallas_encoded(
-    enc_inputs: EncodedInputs,
-    params: Params,
-    *,
-    ldrain1d: bool = False,
-    interpret: bool = False,
-) -> Cloudsc2BlockedOutputs:
-    """Blocked NL sweep over int16 affine-encoded input streams.
-
-    Identical schedule to ``cloudsc2_pallas(blocked=True)``; each int16
-    stream moves HALF the HBM bytes and is decoded in-register
-    (convert + FMA).  Accuracy vs the exact f32 path is bounded by the
-    study in tools/encoding_study.py (~1e-4 max field error; on-chip
-    validation budget is 1.19e-3).  Outputs are exact f32 streams.
-
-    **Measured negative result (DESIGN.md §8, v5e round 2): NOT the
-    default.**  The byte diet does not pay on this chip — the sweep is
-    bound by per-grid-step pipeline latency, not stream bytes: exact f32
-    5.56 ms; int16 (+3 decode windows) 6.02 ms; bf16 payload (same
-    bytes, cheap convert) 6.00 ms; int16 with a single decode window
-    5.77 ms; the all-f32 control through the same plumbing 6.57 ms
-    (163 840 columns, chained-accumulator timing).  Kept in-tree as the
-    measured experiment and for byte-bound hardware generations.
-    """
-    if not (bool(params.yrephli.lphylin) or ldrain1d):
-        raise NotImplementedError(
-            "cloudsc2_pallas_encoded implements the LPHYLIN=True "
-            "configuration only"
-        )
-    fuse_satur = enc_inputs.fuse_satur
-    streams = enc_inputs.streams
-    nlev, nb, sublanes, _ = streams[0].shape
-    dtype = jnp.float32
-
-    ceta = jnp.asarray(params.ceta, dtype)
-    zscalm = (_ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2).astype(dtype)
-    notlast = (jnp.arange(nlev) < nlev - 1).astype(jnp.int32)
-
-    blk = (1, 1, sublanes, 128)
-    lev, plu, hi = _level_index_maps(nlev, rev=False)
-    mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
-    col_s = pl.BlockSpec(
-        (1, sublanes, 128), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM
-    )
-    smem_s = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    n_names = len(streams) - 2  # level fields; then plu, paph
-    nf = n_names + 3
-
-    enc_lev = enc_table_rows(enc_inputs.enc, nlev)  # (nlev+1, 2*nf, 128)
-    enclev_s = pl.BlockSpec(
-        (1, 2 * nf, 128), lambda b, k: (k, 0, 0), memory_space=pltpu.VMEM
-    )
-    # when plu and paph stay f32 (the default: the window-count study in
-    # DESIGN.md §8 — extra per-step windows cost more than halved bytes
-    # save), only the one level-mapped decode window is fetched
-    lev_only = (streams[-2].dtype == jnp.float32
-                and streams[-1].dtype == jnp.float32)
-    enc_ops, enc_specs = [enc_lev], [enclev_s]
-    if not lev_only:
-        enc_ops += [
-            enc_lev[:, 2 * (nf - 3) : 2 * (nf - 3) + 2, :],
-            enc_lev[:, 2 * (nf - 1) : 2 * (nf - 1) + 2, :],
-        ]
-        enc_specs += [
-            pl.BlockSpec(
-                (1, 2, 128), lambda b, k: (jnp.minimum(k + 1, nlev - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 2, 128), lambda b, k: (k + 1, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ]
-
-    in_specs = (
-        [smem_s] * 3
-        + enc_specs
-        + [mk(lev)] * n_names
-        + [mk(plu), mk(lev), mk(hi)]
-        + [col_s] * 2
-    )
-    operands = (*enc_ops,
-                *streams, streams[-1],  # paph twice: (k) and (k+1) reads
-                enc_inputs.ztrpaus, enc_inputs.paphsfc)
-
-    kernel = functools.partial(
-        _stream_kernel, params=params, ldrain1d=ldrain1d,
-        fuse_satur=fuse_satur, encoded="lev" if lev_only else "full",
-    )
-    out_shape = jax.ShapeDtypeStruct((nlev, nb, sublanes, 128), dtype)
-    n_ops = len(streams) + 1
-    # per-FETCH traffic: each operand window moves one block per grid
-    # step (nb*nlev fetches), so paph's nlev+1 stored levels still cost
-    # nlev*nb blocks per read site (it appears twice: k and k+1 maps);
-    # the lane-broadcast decode windows add their ~19 KB/step DMA too
-    in_bytes = sum(
-        s.dtype.itemsize * nlev * nb * sublanes * 128 for s in streams
-    ) + streams[-1].dtype.itemsize * nlev * nb * sublanes * 128
-    in_bytes += sum(op.shape[1] for op in enc_ops) * 128 * 4 * nlev * nb
-    cost = pl.CostEstimate(
-        flops=(292 + 3 * n_ops) * nlev * nb * sublanes * 128,
-        bytes_accessed=in_bytes + N_OUTPUTS * nlev * nb * sublanes * 128 * 4,
-        transcendentals=(12 if fuse_satur else 10) * nlev * nb * sublanes * 128,
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nb, nlev),
-        in_specs=in_specs,
-        out_specs=[mk(lev)] * N_OUTPUTS,
-        out_shape=[out_shape] * N_OUTPUTS,
-        scratch_shapes=[pltpu.VMEM((sublanes, 128), dtype)] * 3,
-        cost_estimate=cost,
-        interpret=interpret,
-    )(
-        ceta.reshape(nlev, 1), zscalm.reshape(nlev, 1),
-        notlast.reshape(nlev, 1), *operands,
-    )
-    return Cloudsc2BlockedOutputs(*outs)
 
 
 # ------------------------------------------------------------------ layout

@@ -37,9 +37,11 @@ reference's:
   body from the raw fields + carry checkpoint, and transposes it with
   ``jax.vjp``; the adjoint carry lives in VMEM scratch.
 
-:func:`cloudsc2_pallas_tlad_fused` is the single-call fusion of both
-sweeps with VMEM-resident checkpoints — a measured negative result on
-v5e, kept as the recorded experiment (see its docstring / DESIGN.md §8).
+The measured-negative alternatives (single-call fused TL+AD with
+VMEM-resident checkpoints, int16-encoded stream variants) live in
+:mod:`.experiments`; they reuse this file's kernel bodies via the
+``encoded=``/``chunk`` plumbing, so the physics stays single-sourced
+(DESIGN.md §8).
 
 LREGCL regularisations enter through the shared level body (identity on
 the primal, tangent/adjoint rescale via ``ops.damp_tangent``), so
@@ -76,9 +78,6 @@ from .cloudsc2_kernel import (
 __all__ = [
     "cloudsc2_pallas_tl",
     "cloudsc2_pallas_ad",
-    "cloudsc2_pallas_tl_encoded",
-    "cloudsc2_pallas_ad_encoded",
-    "cloudsc2_pallas_tlad_fused",
     "fold_flux_seeds",
 ]
 
@@ -403,219 +402,6 @@ def cloudsc2_pallas_tl(
     return out, d_out
 
 
-# ---------------------------------------------------------- fused TL+AD
-def _fused_tlad_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
-                       nlev: int, dscale: float, seed_scales):
-    """ONE grid ``(nb, 2*nlev)``: steps ``k < nlev`` run the TL sweep
-    ascending, steps ``k >= nlev`` the adjoint sweep descending — per
-    column block, so the reverse phase starts right after its forward
-    phase and every cross-phase quantity stays ON CHIP:
-
-    * the 3 primal carry checkpoints live in ``(nlev, 3, S, 128)`` VMEM
-      scratch (they never touch HBM — the two-kernel path streams them
-      out and back, cloudsc2ad.F90's (KLON,KLEV) stores);
-    * the 8 tangent output streams are ALSO kept resident in
-      ``(nlev, 8, S, 128)`` scratch as they are produced, so the
-      reverse phase reads its seeds from VMEM instead of re-fetching
-      the dout streams from HBM (they still stream out once, the
-      work-unit contract).
-
-    Net vs the two-kernel work unit: 14 HBM stream-sweeps deleted
-    (3 ckpt writes + 3 ckpt reads + 8 seed reads) with NO extra
-    compute.  Requires ``vmem_limit_bytes`` ≳ 64 MB at S=64 (the two
-    resident planes alone are 11*nlev*S*128*4 B ≈ 49 MB).
-
-    **MEASURED NEGATIVE RESULT (v5e, round 2)** — kept as the recorded
-    experiment, not wired into any driver.  164k cols, chained
-    methodology, same-day two-kernel baseline 21.4-21.8 ms: this
-    variant 25.3 ms at S=64; a first cut that instead REBUILT the
-    tangent in the reverse phase with ``jax.linearize`` (no dout plane,
-    +0.5 body evaluations) 25.5 ms, S=32 28.8 ms.  Deleting 17% of the
-    HBM bytes LOSES 18%: the per-level dynamic VMEM scratch indexing
-    (``ckpt_p[kk]``) defeats Mosaic's cross-step pipelining, the same
-    mechanism that sank the round-1 resident-mode NL kernel.  On this
-    compiler generation the revolving-window streaming schedule beats
-    every VMEM-residency trade.  Numerically the fusion is exact: on
-    chip (compiled, not interpret) the fused outputs match the
-    two-kernel work unit to 0.0 max rel over every contract leaf — the
-    pinned-window discipline holds under real Mosaic flush semantics.
-
-    Output-window discipline: ``out``/``dout`` belong to the TL phase —
-    during the reverse phase their index maps PIN to the last-written
-    block (no index change → no writeback, the stale-flush trap);
-    the 17 adjoint streams pin to block nlev-1 during the TL phase and
-    are written descending by the reverse phase.  ``dpaphsfc``
-    accumulates in its (b)-mapped window exactly as in ``_rev_kernel``.
-    """
-    ceta_ref, zscalm_ref, notlast_ref, *rest = refs
-    lev_refs, rest = rest[:_NF], rest[_NF:]
-    ztrpaus_ref, paphsfc_ref = rest[:2]
-    rest = rest[2:]
-    out_refs = rest[:2 * N_OUTPUTS]
-    dout_refs = rest[2 * N_OUTPUTS : 2 * N_OUTPUTS + _NF]
-    dpaphsfc_ref = rest[2 * N_OUTPUTS + _NF]
-    scr = rest[2 * N_OUTPUTS + _NF + 1 :]
-    (rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s,
-     arfl_s, asfl_s, acov_s, ckpt_p, dout_vmem) = scr
-
-    k = pl.program_id(1)
-    tl_phase = k < nlev
-    kk = jnp.where(tl_phase, k, 2 * nlev - 1 - k)
-
-    @pl.when(k == 0)
-    def _init_tl():
-        for s in (rfl_s, sfl_s, cov_s, drfl_s, dsfl_s, dcov_s):
-            s[...] = jnp.zeros_like(s)
-
-    @pl.when(k == nlev)
-    def _init_rev():
-        for s in (arfl_s, asfl_s, acov_s):
-            s[...] = jnp.zeros_like(s)
-        dpaphsfc_ref[0] = jnp.zeros_like(dpaphsfc_ref[0])
-
-    scalars = (ceta_ref[kk, 0], zscalm_ref[kk, 0], notlast_ref[kk, 0] > 0)
-    fields = tuple(r[0, 0] for r in lev_refs)
-    ztrpaus = ztrpaus_ref[0]
-    cols = (ztrpaus, paphsfc_ref[0])
-    dfields = tuple(dscale * x for x in fields)
-    dcols = (jnp.zeros_like(ztrpaus), dscale * paphsfc_ref[0])
-
-    def f(fl, co, ca):
-        return _level_physics(params, ldrain1d, scalars, fl, co, ca,
-                              lregcl=lregcl)
-
-    @pl.when(tl_phase)
-    def _tl():
-        carry = (rfl_s[...], sfl_s[...], cov_s[...])
-        dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
-        ckpt_p[kk] = jnp.stack(carry)
-        (outs, newc), (douts, dnewc) = jax.jvp(
-            f, (fields, cols, carry), (dfields, dcols, dcarry)
-        )
-        for r, v in zip(out_refs[:N_OUTPUTS], outs):
-            r[0, 0] = v
-        for r, v in zip(out_refs[N_OUTPUTS:], douts):
-            r[0, 0] = v
-        dout_vmem[kk] = jnp.stack(douts)
-        rfl_s[...], sfl_s[...], cov_s[...] = newc
-        drfl_s[...], dsfl_s[...], dcov_s[...] = dnewc
-
-    @pl.when(jnp.logical_not(tl_phase))
-    def _rev():
-        carry_in = tuple(ckpt_p[kk])
-        _, vjp_fn = jax.vjp(f, fields, cols, carry_in)
-        douts = tuple(dout_vmem[kk])
-        srfl, ssfl = seed_scales
-        seeds = douts[:6] + (douts[6] * srfl, douts[7] * ssfl)
-        dcarry = (arfl_s[...], asfl_s[...], acov_s[...])
-        dflds, dcls, dcarry_in = vjp_fn((seeds, dcarry))
-        for r, v in zip(dout_refs, dflds):
-            r[0, 0] = v
-        arfl_s[...], asfl_s[...], acov_s[...] = dcarry_in
-        # d_ztrpaus is exactly zero through the stop-gradient masked max
-        dpaphsfc_ref[0] = dpaphsfc_ref[0] + dcls[1]
-
-
-def cloudsc2_pallas_tlad_fused(
-    inputs: Cloudsc2Inputs,
-    params: Params,
-    *,
-    lregcl: bool = True,
-    ldrain1d: bool = False,
-    sublanes: int = 64,
-    dscale: float = 0.01,
-    vmem_limit_bytes: int | None = 100 * 1024 * 1024,
-    interpret: bool = False,
-):
-    """Single-kernel fused NL+TL+AD work unit (blocked layout only).
-
-    Returns ``(out, dout, adj)`` with the same contracts as the
-    two-kernel ``run_tlad`` pallas_blocked path (``Cloudsc2BlockedOutputs``
-    twice + blocked input adjoints); see :func:`_fused_tlad_kernel` for
-    the schedule and its HBM byte diet."""
-    if not (bool(params.yrephli.lphylin) or ldrain1d):
-        raise NotImplementedError(
-            "the fused TL+AD kernel implements LPHYLIN=True only"
-        )
-    lay = _Layout(inputs, params, sublanes, False, blocked=True)
-    nlev = lay.nlev
-    _, _, _, col_s, smem_s = lay.specs(rev=False)
-    blk = (1, 1, lay.sublanes, 128)
-    mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
-
-    def w(im):  # two-phase index maps; kk = physical level of step k
-        return mk(lambda b, k: im(b, jnp.where(k < nlev, k, 2 * nlev - 1 - k)))
-
-    lev_s = w(lambda b, kk: (kk, b, 0, 0))
-    plu_s = w(lambda b, kk: (jnp.minimum(kk + 1, nlev - 1), b, 0, 0))
-    hi_s = w(lambda b, kk: (kk + 1, b, 0, 0))
-    # TL-owned outputs: pin to the last-written block during the reverse
-    # phase (constant index -> no writeback of the stale window)
-    tl_out_s = mk(lambda b, k: (jnp.minimum(k, nlev - 1), b, 0, 0))
-    # adjoint outputs: pin to the reverse phase's first block during TL
-    rev_out_s = mk(
-        lambda b, k: (jnp.where(k < nlev, nlev - 1, 2 * nlev - 1 - k),
-                      b, 0, 0)
-    )
-
-    in_specs = (
-        [smem_s] * 3
-        + [lev_s] * N_LEVEL_FIELDS + [plu_s, lev_s, hi_s]
-        + [col_s] * 2
-    )
-    kernel = functools.partial(
-        _fused_tlad_kernel, params=params, ldrain1d=ldrain1d,
-        lregcl=lregcl, nlev=nlev, dscale=float(dscale),
-        seed_scales=(1.0 + float(params.yomcst.rlvtt) ** 2,
-                     1.0 + float(params.yomcst.rlstt) ** 2),
-    )
-    cost = pl.CostEstimate(
-        flops=(2 + 3) * 292 * nlev * lay.nb * lay.bc,
-        bytes_accessed=(2 * _NF + 2 * N_OUTPUTS + _NF + 1)
-        * nlev * lay.nb * lay.bc * lay.dtype.itemsize,
-        transcendentals=2 * 2 * 10 * nlev * lay.nb * lay.bc,
-    )
-    scratch = lay.scratch(9) + [
-        pltpu.VMEM((nlev, 3, lay.sublanes, 128), lay.dtype),
-        pltpu.VMEM((nlev, N_OUTPUTS, lay.sublanes, 128), lay.dtype),
-    ]
-    outs = pl.pallas_call(
-        kernel,
-        grid=(lay.nb, 2 * nlev),
-        in_specs=in_specs,
-        out_specs=[tl_out_s] * (2 * N_OUTPUTS) + [rev_out_s] * _NF
-        + [col_s],
-        out_shape=[lay.out_shape()] * (2 * N_OUTPUTS + _NF)
-        + [lay.col_shape()],
-        scratch_shapes=scratch,
-        cost_estimate=cost,
-        interpret=interpret,
-        **_vmem_kw(vmem_limit_bytes),
-    )(*lay.scalar_args(), *lay.level_operands(lay.arrs),
-      lay.ztrpaus_b, lay.paphsfc_b)
-
-    out_b = Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS])
-    dout_b = Cloudsc2BlockedOutputs(*outs[N_OUTPUTS : 2 * N_OUTPUTS])
-    rev = outs[2 * N_OUTPUTS :]
-    dlev = list(rev[:_NF])
-    d_plu_k1, d_paph_lo, d_paph_hi = dlev[N_LEVEL_FIELDS:]
-    dpaphsfc = rev[_NF]
-    zrow = jnp.zeros((1,) + d_plu_k1.shape[1:], lay.dtype)
-    d = dict(zip(_LEVEL_FIELDS, dlev[:N_LEVEL_FIELDS]))
-    d["plu"] = jnp.concatenate([zrow, d_plu_k1[:-1]], axis=0)
-    d["paph"] = (
-        jnp.concatenate([d_paph_lo, zrow], axis=0)
-        + jnp.concatenate([zrow, d_paph_hi], axis=0)
-    ).at[nlev].add(dpaphsfc)
-    d_in = Cloudsc2Inputs(
-        paph=d["paph"], pap=d["pap"], pq=d["pq"], pqs=d["pqs"], pt=d["pt"],
-        pl=d["pl"], pi=d["pi"], plude=d["plude"], plu=d["plu"],
-        pmfu=d["pmfu"], pmfd=d["pmfd"], ten_t=d["ten_t"], ten_q=d["ten_q"],
-        ten_l=d["ten_l"], ten_i=d["ten_i"], psupsat=d["psupsat"],
-    )
-    return out_b, dout_b, d_in
-
-
 # ------------------------------------------------------------------ AD
 def _fwd_ckpt_kernel(*refs, params: Params, ldrain1d: bool,
                      chunk: int = 1, nlev: int = 0):
@@ -898,234 +684,3 @@ def cloudsc2_pallas_ad(
     if not levels_major:
         d_in = Cloudsc2Inputs(*(x.T for x in d_in))
     return out, d_in
-
-
-# --------------------------------------------- encoded-stream work unit
-# The byte-diet experiment prescribed by the round-2 review: the fused
-# TL+AD unit moves ~9.2 GB/call at ~86% of its ceiling and re-reads the
-# 17 raw level streams in BOTH sweeps (≙ the trajectory-byte problem of
-# cloudsc2ad.F90:228-292), so — unlike the latency-bound NL sweep, where
-# int16 encoding measured as a quantified negative (DESIGN.md §8) — the
-# TL/AD mixes are the one place halved stream bytes could still pay.
-# These wrappers run the SAME _tl_kernel/_rev_kernel schedules over
-# int16 affine-encoded level streams (encode_blocked_inputs with
-# fuse_satur=False, keep_f32 pq/plu/paph), decoded in-register.
-
-
-class _EncGeometry:
-    """Spec/scalar factory for the encoded blocked layout (the subset of
-    _Layout the encoded path needs, built WITHOUT the f32 arrays so the
-    timed program never touches them)."""
-
-    def __init__(self, enc_inputs, params):
-        from .cloudsc2_kernel import _ZEPS1, _ZSCAL
-
-        streams = enc_inputs.streams
-        if len(streams) != N_LEVEL_FIELDS + 2:
-            # a contract violation, not a debug check: under `python -O`
-            # a bare assert would vanish and a fuse_satur=True encoding
-            # would silently misalign the 16-stream operand order
-            raise ValueError(
-                "encoded TL/AD needs fuse_satur=False encoding (pqs kept)"
-            )
-        for name, s in (("pq", streams[1]), ("plu", streams[-2]),
-                        ("paph", streams[-1])):
-            if s.dtype != jnp.float32:
-                raise ValueError(f"encoded TL/AD keeps {name} f32 "
-                                 "(lev-only decode window)")
-        self.nlev, self.nb, self.sublanes, _ = streams[0].shape
-        self.bc = self.sublanes * 128
-        self.dtype = jnp.float32
-        nlev = self.nlev
-
-        ceta = jnp.asarray(params.ceta, self.dtype)
-        self.ceta = ceta
-        self.zscalm = (
-            _ZSCAL * jnp.maximum(ceta - 0.2, _ZEPS1) ** 0.2
-        ).astype(self.dtype)
-        self.notlast = (jnp.arange(nlev) < nlev - 1).astype(jnp.int32)
-
-        # operand order = _Layout.level_operands: 14 fields, plu(k+1),
-        # paph(k), paph(k+1) — paph stream passed twice
-        self.operands = (*streams[:N_LEVEL_FIELDS], streams[-2],
-                         streams[-1], streams[-1])
-        from .cloudsc2_kernel import enc_table_rows
-
-        self.enclev = enc_table_rows(enc_inputs.enc, nlev)
-        self.ztrpaus_b = enc_inputs.ztrpaus
-        self.paphsfc_b = enc_inputs.paphsfc
-
-    def scalar_args(self):
-        n = self.nlev
-        return (self.ceta.reshape(n, 1), self.zscalm.reshape(n, 1),
-                self.notlast.reshape(n, 1))
-
-    def specs(self, rev: bool):
-        from .cloudsc2_kernel import _level_index_maps
-
-        blk = (1, 1, self.sublanes, 128)
-        nlev = self.nlev
-        lev, plu, hi = _level_index_maps(nlev, rev)
-        # decode-table window: same level walk, no block axis
-        enc = ((lambda b, k: (nlev - 1 - k, 0, 0)) if rev
-               else (lambda b, k: (k, 0, 0)))
-        mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
-        lev_s = [mk(lev)] * N_LEVEL_FIELDS + [mk(plu), mk(lev), mk(hi)]
-        col_s = pl.BlockSpec(
-            (1, self.sublanes, 128), lambda b, k: (b, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        smem_s = pl.BlockSpec(memory_space=pltpu.SMEM)
-        enclev_s = pl.BlockSpec(
-            (1, 2 * _NF, 128), enc, memory_space=pltpu.VMEM
-        )
-        return lev_s, col_s, smem_s, enclev_s
-
-    def out_shape(self):
-        return jax.ShapeDtypeStruct(
-            (self.nlev, self.nb, self.sublanes, 128), self.dtype
-        )
-
-    def col_shape(self):
-        return jax.ShapeDtypeStruct(
-            (self.nb, self.sublanes, 128), self.dtype
-        )
-
-    def scratch(self, n):
-        return [pltpu.VMEM((self.sublanes, 128), self.dtype)] * n
-
-    def bytes_accessed(self, n_f32_windows):
-        """Exact per-call traffic: encoded streams at 2 B, f32 at 4 B,
-        plus the decode window."""
-        cell = self.nlev * self.nb * self.bc
-        enc_bytes = sum(
-            s.dtype.itemsize * cell for s in self.operands
-        )
-        enc_bytes += 2 * _NF * 128 * 4 * self.nlev * self.nb  # decode rows
-        return enc_bytes + n_f32_windows * cell * 4
-
-
-def cloudsc2_pallas_tl_encoded(
-    enc_inputs,
-    params: Params,
-    *,
-    dscale: float,
-    lregcl: bool = True,
-    ldrain1d: bool = False,
-    save_checkpoints: bool = True,
-    write_primal: bool = True,
-    vmem_limit_bytes: int | None = None,
-    interpret: bool = False,
-):
-    """Blocked dscale TL sweep over int16-encoded level streams.
-
-    Same schedule as ``cloudsc2_pallas_tl(blocked=True, dscale=...)``
-    with the 11 encodable level streams moving half the HBM bytes
-    (decode = convert + FMA in-register).  Tangents are formed from the
-    DECODED trajectory, so the TL is the exact tangent of the quantised
-    primal.  Returns (outputs, d_outputs[, checkpoints]) blocked."""
-    if not (bool(params.yrephli.lphylin) or ldrain1d):
-        raise NotImplementedError("LPHYLIN=True only (see cloudsc2_pallas_tl)")
-    g = _EncGeometry(enc_inputs, params)
-    lev_s, col_s, smem_s, enclev_s = g.specs(rev=False)
-    nprim = N_OUTPUTS if write_primal else 0
-    nout = nprim + N_OUTPUTS + (3 if save_checkpoints else 0)
-    out_spec = lev_s[0]
-    kernel = functools.partial(
-        _tl_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
-        save_ckpt=save_checkpoints, dscale=float(dscale), chunk=1,
-        nlev=g.nlev, encoded=True, write_primal=write_primal,
-    )
-    cost = pl.CostEstimate(
-        flops=(2 * 292 + 3 * _NF) * g.nlev * g.nb * g.bc,
-        bytes_accessed=g.bytes_accessed(nout),
-        transcendentals=2 * 10 * g.nlev * g.nb * g.bc,
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid=(g.nb, g.nlev),
-        in_specs=[smem_s] * 3 + [enclev_s] + lev_s + [col_s] * 2,
-        out_specs=[out_spec] * nout,
-        out_shape=[g.out_shape()] * nout,
-        scratch_shapes=g.scratch(6),
-        cost_estimate=cost,
-        interpret=interpret,
-        **_vmem_kw(vmem_limit_bytes),
-    )(*g.scalar_args(), g.enclev, *g.operands, g.ztrpaus_b, g.paphsfc_b)
-    out_b = (Cloudsc2BlockedOutputs(*outs[:N_OUTPUTS]) if write_primal
-             else None)
-    dout_b = Cloudsc2BlockedOutputs(*outs[nprim : nprim + N_OUTPUTS])
-    if save_checkpoints:
-        return out_b, dout_b, tuple(outs[nprim + N_OUTPUTS :])
-    return out_b, dout_b
-
-
-def cloudsc2_pallas_ad_encoded(
-    enc_inputs,
-    d_outputs,
-    params: Params,
-    *,
-    checkpoints,
-    lregcl: bool = True,
-    ldrain1d: bool = False,
-    fold_seeds: bool = True,
-    vmem_limit_bytes: int | None = None,
-    interpret: bool = False,
-):
-    """Reverse adjoint sweep over int16-encoded level streams.
-
-    Requires the per-level carry checkpoints from
-    :func:`cloudsc2_pallas_tl_encoded` (the fused-unit contract — the
-    forward sweep is never rerun).  ``d_outputs`` is the blocked 8-stream
-    cotangent (f32; produced on-device, never stored encoded).
-    Returns (None, input_adjoints) blocked."""
-    if not (bool(params.yrephli.lphylin) or ldrain1d):
-        raise NotImplementedError("LPHYLIN=True only (see cloudsc2_pallas_ad)")
-    g = _EncGeometry(enc_inputs, params)
-    lev_rev, col_s, smem_s, enclev_rev = g.specs(rev=True)
-    rev_spec = lev_rev[0]
-    seeds = tuple(jnp.asarray(s, g.dtype) for s in d_outputs)
-    rev = pl.pallas_call(
-        functools.partial(
-            _rev_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
-            nlev=g.nlev, chunk=1, encoded=True,
-            seed_scales=(
-                (1.0 + float(params.yomcst.rlvtt) ** 2,
-                 1.0 + float(params.yomcst.rlstt) ** 2)
-                if fold_seeds else None
-            ),
-        ),
-        grid=(g.nb, g.nlev),
-        in_specs=[smem_s] * 3 + [enclev_rev] + lev_rev + [rev_spec] * 3
-        + [rev_spec] * N_OUTPUTS + [col_s] * 2,
-        out_specs=[rev_spec] * _NF + [col_s],
-        out_shape=[g.out_shape()] * _NF + [g.col_shape()],
-        scratch_shapes=g.scratch(3),
-        cost_estimate=pl.CostEstimate(
-            flops=(3 * 292 + 3 * _NF) * g.nlev * g.nb * g.bc,
-            bytes_accessed=g.bytes_accessed(3 + N_OUTPUTS + _NF + 1),
-            transcendentals=2 * 10 * g.nlev * g.nb * g.bc,
-        ),
-        interpret=interpret,
-        **_vmem_kw(vmem_limit_bytes),
-    )(*g.scalar_args(), g.enclev, *g.operands, *tuple(checkpoints), *seeds,
-      g.ztrpaus_b, g.paphsfc_b)
-
-    dlev = list(rev[:_NF])
-    d_plu_k1, d_paph_lo, d_paph_hi = dlev[N_LEVEL_FIELDS:]
-    dpaphsfc = rev[_NF]  # (nb, S, 128)
-    zrow = jnp.zeros((1,) + d_plu_k1.shape[1:], g.dtype)
-    d = dict(zip(_LEVEL_FIELDS, dlev[:N_LEVEL_FIELDS]))
-    # shifted-view scatter: same assembly as cloudsc2_pallas_ad(blocked)
-    d["plu"] = jnp.concatenate([zrow, d_plu_k1[:-1]], axis=0)
-    d["paph"] = (
-        jnp.concatenate([d_paph_lo, zrow], axis=0)
-        + jnp.concatenate([zrow, d_paph_hi], axis=0)
-    ).at[g.nlev].add(dpaphsfc)
-    d_in = Cloudsc2Inputs(
-        paph=d["paph"], pap=d["pap"], pq=d["pq"], pqs=d["pqs"], pt=d["pt"],
-        pl=d["pl"], pi=d["pi"], plude=d["plude"], plu=d["plu"],
-        pmfu=d["pmfu"], pmfd=d["pmfd"], ten_t=d["ten_t"], ten_q=d["ten_q"],
-        ten_l=d["ten_l"], ten_i=d["ten_i"], psupsat=d["psupsat"],
-    )
-    return None, d_in

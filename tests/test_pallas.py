@@ -129,8 +129,8 @@ def test_encoded_inputs_match_exact_kernel():
     import jax
     import jax.numpy as jnp
 
-    from cloudsc2jax.pallas.cloudsc2_kernel import (
-        cloudsc2_pallas,
+    from cloudsc2jax.pallas.cloudsc2_kernel import cloudsc2_pallas
+    from cloudsc2jax.pallas.experiments import (
         cloudsc2_pallas_encoded,
         encode_blocked_inputs,
     )

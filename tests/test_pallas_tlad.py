@@ -225,8 +225,8 @@ def test_encoded_tlad_unit_matches_exact(state):
       and AD are exact derivatives of the same quantised primal, so the
       identity error is f32 rounding, not quantisation."""
     from cloudsc2jax.drivers import DSCALE
-    from cloudsc2jax.pallas.cloudsc2_kernel import encode_blocked_inputs
-    from cloudsc2jax.pallas.tlad_kernel import (
+    from cloudsc2jax.pallas.experiments import encode_blocked_inputs
+    from cloudsc2jax.pallas.experiments import (
         cloudsc2_pallas_ad_encoded,
         cloudsc2_pallas_tl_encoded,
     )
@@ -366,7 +366,7 @@ def test_fused_single_kernel_matches_two_kernel(state):
     AND the 8 tangent output streams resident in VMEM scratch, pinned
     output windows) reproduces the two-kernel dscale work unit on every
     contract leaf."""
-    from cloudsc2jax.pallas.tlad_kernel import cloudsc2_pallas_tlad_fused
+    from cloudsc2jax.pallas.experiments import cloudsc2_pallas_tlad_fused
     from cloudsc2jax.state import Cloudsc2State
 
     st = Cloudsc2State.synthetic(ngptot=100, nlev=23)

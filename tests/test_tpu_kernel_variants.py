@@ -65,13 +65,15 @@ assert jax.devices()[0].platform == "tpu", jax.devices()
 from functools import partial
 
 from cloudsc2jax.drivers import DSCALE
-from cloudsc2jax.pallas.cloudsc2_kernel import encode_blocked_inputs
-from cloudsc2jax.pallas.tlad_kernel import (
-    cloudsc2_pallas_ad,
+from cloudsc2jax.pallas.experiments import (
     cloudsc2_pallas_ad_encoded,
-    cloudsc2_pallas_tl,
     cloudsc2_pallas_tl_encoded,
     cloudsc2_pallas_tlad_fused,
+    encode_blocked_inputs,
+)
+from cloudsc2jax.pallas.tlad_kernel import (
+    cloudsc2_pallas_ad,
+    cloudsc2_pallas_tl,
 )
 from cloudsc2jax.state import Cloudsc2State
 

@@ -53,10 +53,10 @@ VMEM = 100 * 1024 * 1024
 
 
 def _step_fn(cfg, params):
+    from cloudsc2jax.pallas.experiments import cloudsc2_pallas_tlad_fused
     from cloudsc2jax.pallas.tlad_kernel import (
         cloudsc2_pallas_ad,
         cloudsc2_pallas_tl,
-        cloudsc2_pallas_tlad_fused,
     )
 
     kind, *args = cfg.split(":")
@@ -69,7 +69,7 @@ def _step_fn(cfg, params):
             return cloudsc2_pallas_tlad_fused(i, params, lregcl=True,
                                               sublanes=S)
         if kind in ("enc", "encnp"):
-            from cloudsc2jax.pallas.tlad_kernel import (
+            from cloudsc2jax.pallas.experiments import (
                 cloudsc2_pallas_ad_encoded,
                 cloudsc2_pallas_tl_encoded,
             )
@@ -134,7 +134,7 @@ def main(argv):
                 # lands in the decode-table offset row via re-encoding)
                 from functools import partial
 
-                from cloudsc2jax.pallas.cloudsc2_kernel import (
+                from cloudsc2jax.pallas.experiments import (
                     encode_blocked_inputs,
                 )
 

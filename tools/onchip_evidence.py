@@ -151,9 +151,12 @@ def _steps():
             [PY, "-m", "cloudsc2jax", "tlad", "1", "163840", "128",
              "--dtype", "f32", "--pallas"],
             {}, 1200, "text"),
+        # f32 validation budget is 1e4 working-precision epsilons
+        # (1.19e-3; the -DSINGLE analogue, DESIGN.md §8) — the default
+        # 10-epsilon threshold is the f64 validation-precision gate
         "cli_nl": (
             [PY, "-m", "cloudsc2jax", "nl", "1", "163840", "128",
-             "--dtype", "f32", "--pallas"],
+             "--dtype", "f32", "--pallas", "--threshold", "10000"],
             {}, 1200, "text"),
         # -- mesh-chunked >HBM streaming at 1.3M cols (item 8) ----------
         "bench_chunked_tlad": (
