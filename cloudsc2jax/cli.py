@@ -46,6 +46,12 @@ def _build_parser():
                    help="working precision (JPRB double / -DSINGLE analogue)")
     p.add_argument("--pallas", action="store_true", help="use the fused Pallas kernel")
     p.add_argument("--repeat", type=int, default=1, help="benchmark repetitions")
+    p.add_argument("--per-device-timing", action="store_true",
+                   help="after the SPMD run, re-time each device's shard "
+                        "share on its own device so the perf table prints "
+                        "measured per-device clocks instead of lane-0 "
+                        "mirrors (chip-skew diagnostic; nl/tlad, "
+                        "single-process)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the run into DIR "
                         "(the DR_HOOK/EC_PMON observability analogue)")
@@ -411,16 +417,27 @@ def _interpret_mode(args, jax, rank0):
     return interp
 
 
-def _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks):
+def _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks,
+                       measure=None):
     """Per-process SPMD accounting + the gathered per-rank perf table
     (≙ timer_mod.F90:155's MPI_GATHER): each process logs its local share
-    of the mesh's device lanes and columns."""
+    of the mesh's device lanes and columns.
+
+    ``measure=(fn_single, inputs)`` (from ``--per-device-timing``)
+    replaces the mirrored lane clocks with genuine per-device
+    measurements (timer.measure_device_lanes) before printing."""
     nproc = jax.process_count()
     ndev = mesh.devices.size if mesh is not None else 1
     nlanes = max(ndev // nproc, 1)
     timer.spmd_log(nlanes, (ngptot // nproc) * args.repeat)
     timer.thread_end(0)
     timer.mirror_times(nlanes)
+    if measure is not None:
+        if nproc == 1 and nlanes > 1:
+            timer.measure_device_lanes(*measure)
+        elif jax.process_index() == 0:
+            print("--per-device-timing needs a single-process multi-device "
+                  "run — ignored", file=sys.stderr)
     timer.end()
     timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
 
@@ -451,7 +468,14 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
         for _ in range(args.repeat - 1):
             out = fn(inputs)
             jax.block_until_ready(out)
-        _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks)
+        measure = None
+        if args.per_device_timing:
+            measure = (partial(run_nl, params=state.params, backend=backend,
+                               mesh=None,
+                               interpret=_interpret_mode(args, jax, False)),
+                       inputs)
+        _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks,
+                           measure=measure)
         ok = True
         need_std = (
             (not args.no_validate and pathlib.Path(reference_path).exists())
@@ -570,7 +594,16 @@ def _dispatch(args, jax, state, inputs, timer, ngptot, ngpblks, reference_path,
             res = run_tlad(inputs, state.params, lregcl=True, nproma=nproma,
                            backend=backend, mesh=tlad_mesh, interpret=interp)
             jax.block_until_ready(res)
-        _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks)
+        measure = None
+        if args.per_device_timing:
+            from functools import partial
+
+            measure = (partial(run_tlad, params=state.params, lregcl=True,
+                               nproma=nproma, backend=backend, mesh=None,
+                               interpret=interp),
+                       inputs)
+        _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks,
+                           measure=measure)
         out, dout, adj = res
         rel, finite = _adjoint_identity(jax, state, inputs, dout, adj)
         # f64: 1e-10 ≈ 10⁴ε₆₄ reference semantics; f32 pallas: the

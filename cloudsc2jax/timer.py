@@ -81,6 +81,9 @@ class _Lane:
     # measured on this lane (single-controller SPMD approximation) —
     # such rows are labelled in the printed table
     mirrored: bool = False
+    # True when the clock came from the per-device diagnostic re-run
+    # (measure_device_lanes) — a genuine per-lane measurement
+    measured_lane: bool = False
 
 
 class PerformanceTimer:
@@ -148,6 +151,50 @@ class PerformanceTimer:
             lane.t_total = t
             lane.mirrored = True
 
+    def measure_device_lanes(self, step_fn, inputs, repeats: int = 2):
+        """Replace the mirrored device-lane clocks with MEASURED ones.
+
+        Under single-controller jit the SPMD run gives one host-side wall
+        clock (``mirror_times``); the reference instead prints a genuine
+        clock per execution lane (timer_mod.F90:56-112).  This diagnostic
+        recovers that: each device's addressable shard of ``inputs`` is
+        run through single-device ``step_fn`` ON ITS OWN DEVICE,
+        sequentially, each timed with its own host clock — per-lane
+        clocks for per-lane shares, exposing a slow/degraded chip that
+        the lockstep SPMD number averages away.  It is a re-run of each
+        share (cheap: one share is 1/ndev of the work), not a
+        decomposition of the SPMD time; rows print ``(measured)``.
+
+        ``inputs`` must be sharded arrays whose per-device shards are
+        valid single-device inputs for ``step_fn`` (the column/block
+        shardings used by the CLI are).  Single-process only.
+        """
+        import jax
+
+        devices = sorted(
+            {s.device for x in jax.tree.leaves(inputs)
+             for s in x.addressable_shards},
+            key=lambda d: d.id,
+        )
+        for lane_id, dev in enumerate(devices):
+            local = jax.tree.map(
+                lambda x: next(s.data for s in x.addressable_shards
+                               if s.device == dev),
+                inputs,
+            )
+            jax.block_until_ready(step_fn(local))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                jax.block_until_ready(step_fn(local))
+            t = (time.perf_counter() - t0) / repeats
+            lane = self._lanes.setdefault(
+                lane_id, _Lane(lane_id=lane_id, core_id=dev.id)
+            )
+            lane.t_total = t
+            lane.core_id = dev.id
+            lane.mirrored = False
+            lane.measured_lane = True
+
     def end(self):
         self._t1 = time.perf_counter()
 
@@ -185,7 +232,8 @@ class PerformanceTimer:
             # per-lane block count, like the reference's per-thread rows
             # (timer_mod.F90:124-148)
             blks = -(-lane.columns // max(nproma, 1))
-            tag = "  (mirror)" if lane.mirrored else ""
+            tag = ("  (measured)" if lane.measured_lane
+                   else "  (mirror)" if lane.mirrored else "")
             print(
                 f"{lane.lane_id:>12} {ngptot:>10} {lane.columns:>10} {blks:>8}"
                 f" {nproma:>8} {1e3*t:>12.1f} {mflops:>12.0f}"

@@ -176,3 +176,61 @@ def test_measure_f32_verdicts_contract(state):
     # tools/onchip_evidence.py)  [ADVICE r3]
     assert 0.0 <= m["tl_parity_rel_err"] < 10 * PALLAS_TL_PARITY_TOL
     assert 0.0 <= m["ad_identity_rel_err"] < 10 * PALLAS_AD_IDENTITY_TOL
+
+
+def test_measure_device_lanes_marks_rows():
+    """--per-device-timing's engine (timer.measure_device_lanes): each
+    device lane's clock is a genuine per-shard measurement (not a lane-0
+    mirror) and the perf table labels the rows `(measured)` — the
+    per-execution-lane clock semantics of timer_mod.F90:56-112, which a
+    single-controller SPMD run can otherwise only mirror."""
+    import io
+    from functools import partial
+
+    import jax
+    import numpy as np
+
+    from cloudsc2jax import dist
+    from cloudsc2jax.drivers import run_nl
+    from cloudsc2jax.state import Cloudsc2State
+    from cloudsc2jax.timer import PerformanceTimer
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=9)
+    ndev = 4
+    mesh = dist.column_mesh(jax.devices()[:ndev])
+    inp = dist.shard_inputs(
+        st.device_kernel_inputs(512, dtype=np.float64), mesh
+    )
+    t = PerformanceTimer()
+    t.start(ndev)
+    t.thread_start(0)
+    jax.block_until_ready(run_nl(inp, st.params))
+    t.spmd_log(ndev, 512)
+    t.thread_end(0)
+    t.mirror_times(ndev)
+    t.measure_device_lanes(partial(run_nl, params=st.params), inp, repeats=1)
+    t.end()
+    buf = io.StringIO()
+    t.print_performance(128, 4, 512, file=buf)
+    table = buf.getvalue()
+    assert table.count("(measured)") == ndev
+    assert "(mirror)" not in table
+    lanes = sorted(t._lanes.values(), key=lambda l: l.lane_id)
+    assert len(lanes) == ndev
+    assert all(l.measured_lane and l.t_total > 0 for l in lanes)
+    # each lane timed ITS OWN device's shard (core_id records device id)
+    assert [l.core_id for l in lanes] == sorted(
+        d.id for d in mesh.devices.ravel()
+    )
+
+
+@pytest.mark.slow
+def test_cli_per_device_timing_flag():
+    """End-to-end: `nl --per-device-timing` on a 4-device run prints one
+    measured row per device."""
+    r = _run(["nl", "4", "512", "128", "--no-validate", "--dtype", "f32",
+              "--per-device-timing"],
+             env_extra={"CLOUDSC2_NUM_CPU_DEVICES": "4"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stderr.count("(measured)") == 4
+    assert "(mirror)" not in r.stderr
