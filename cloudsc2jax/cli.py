@@ -432,13 +432,17 @@ def _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks,
     timer.spmd_log(nlanes, (ngptot // nproc) * args.repeat)
     timer.thread_end(0)
     timer.mirror_times(nlanes)
+    # close the global clock BEFORE the per-device diagnostic re-runs
+    # (and their per-shard compiles) so the total row reports the SPMD
+    # run only; the diagnostic replaces just the per-lane clocks
+    timer.end()
     if measure is not None:
         if nproc == 1 and nlanes > 1:
-            timer.measure_device_lanes(*measure)
+            timer.measure_device_lanes(*measure,
+                                       calls_equivalent=args.repeat)
         elif jax.process_index() == 0:
             print("--per-device-timing needs a single-process multi-device "
                   "run — ignored", file=sys.stderr)
-    timer.end()
     timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
 
 

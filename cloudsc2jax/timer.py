@@ -151,7 +151,8 @@ class PerformanceTimer:
             lane.t_total = t
             lane.mirrored = True
 
-    def measure_device_lanes(self, step_fn, inputs, repeats: int = 2):
+    def measure_device_lanes(self, step_fn, inputs, repeats: int = 2,
+                             calls_equivalent: int = 1):
         """Replace the mirrored device-lane clocks with MEASURED ones.
 
         Under single-controller jit the SPMD run gives one host-side wall
@@ -168,6 +169,11 @@ class PerformanceTimer:
         ``inputs`` must be sharded arrays whose per-device shards are
         valid single-device inputs for ``step_fn`` (the column/block
         shardings used by the CLI are).  Single-process only.
+
+        ``calls_equivalent`` is the number of executions the lane's
+        logged column count represents (the CLI's ``--repeat``): the
+        measured per-execution time is scaled by it so the printed
+        col/s and MFlop/s stay consistent with the lane's columns.
         """
         import jax
 
@@ -190,7 +196,7 @@ class PerformanceTimer:
             lane = self._lanes.setdefault(
                 lane_id, _Lane(lane_id=lane_id, core_id=dev.id)
             )
-            lane.t_total = t
+            lane.t_total = t * max(calls_equivalent, 1)
             lane.core_id = dev.id
             lane.mirrored = False
             lane.measured_lane = True

@@ -234,3 +234,41 @@ def test_cli_per_device_timing_flag():
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stderr.count("(measured)") == 4
     assert "(mirror)" not in r.stderr
+
+
+def test_measure_device_lanes_scales_with_repeat():
+    """The measured lane clock is scaled by calls_equivalent (the CLI's
+    --repeat): the lane's logged columns carry the repeat multiplier, so
+    an unscaled single-execution clock would inflate col/s repeat-fold."""
+    import time as _time
+
+    import jax
+
+    from cloudsc2jax.timer import PerformanceTimer
+
+    ndev = 2
+    mesh_devs = jax.devices()[:ndev]
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    import numpy as np
+
+    mesh = Mesh(np.array(mesh_devs).reshape(ndev), ("c",))
+    x = jax.device_put(
+        jnp.zeros((ndev * 4,)), NamedSharding(mesh, PartitionSpec("c"))
+    )
+
+    def slow_step(local):
+        _time.sleep(0.02)
+        return 0.0
+
+    t = PerformanceTimer()
+    t.start(ndev)
+    t.spmd_log(ndev, 800)  # 100 cols x repeat=4 x 2 lanes
+    t.end()
+    t.measure_device_lanes(slow_step, {"x": x}, repeats=1,
+                           calls_equivalent=4)
+    lanes = sorted(t._lanes.values(), key=lambda l: l.lane_id)
+    # ~0.02s per execution x 4 equivalent calls, generous CI bounds
+    assert all(0.06 < l.t_total < 2.0 for l in lanes)
+    assert all(l.measured_lane for l in lanes)

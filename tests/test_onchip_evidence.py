@@ -84,3 +84,38 @@ def test_round_number_from_bench_files(monkeypatch, tmp_path):
     (tmp_path / "BENCH_r01.json").write_text("{}")
     monkeypatch.setattr(oe, "HERE", str(tmp_path))
     assert oe._round_number() == 4
+
+
+def test_cpu_fallback_record_is_not_evidence():
+    """A step that exits 0 but whose JSON self-reports a non-TPU
+    platform (bench/probe CPU fallback) must NOT count as captured
+    on-chip evidence — otherwise --resume skips it forever and the
+    fallback number publishes as the round's chip number."""
+    rec = oe._run_step(
+        "b", [sys.executable, "-c",
+              "print('{\"value\": 1, \"platform\": \"cpu\"}')"],
+        {}, 30, "json", retries=0)
+    assert rec["rc"] == 0 and not rec["ok"]
+    assert rec["not_ok_reason"] == "record self-reports non-TPU platform"
+    ok = oe._run_step(
+        "b", [sys.executable, "-c",
+              "print('{\"value\": 1, \"platform\": \"tpu\"}')"],
+        {}, 30, "json", retries=0)
+    assert ok["ok"]
+
+
+def test_preflight_reuses_bench_probe_with_retries(monkeypatch):
+    import bench
+
+    calls = []
+
+    def fake(t):
+        calls.append(t)
+        return "timeout" if len(calls) < 2 else "ok"
+
+    monkeypatch.setattr(bench, "_tpu_preflight", fake)
+    assert oe._preflight(timeout_s=7, attempts=3, backoff=0) == "ok"
+    assert calls == [7, 7]
+    calls.clear()
+    monkeypatch.setattr(bench, "_tpu_preflight", lambda t: "timeout")
+    assert oe._preflight(timeout_s=7, attempts=2, backoff=0) == "timeout"

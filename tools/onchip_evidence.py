@@ -62,23 +62,15 @@ def _round_number():
 
 
 def _preflight(timeout_s=90, attempts=3, backoff=60):
-    """'ok' | 'timeout' | 'no-tpu-backend' | 'crash' (bench.py contract)."""
+    """'ok' | 'timeout' | 'no-tpu-backend' | 'crash' — bench.py's probe
+    (one subprocess per attempt; the tunnel hang is uninterruptible
+    in-process) wrapped in a retry/backoff loop."""
+    sys.path.insert(0, HERE)
+    from bench import _tpu_preflight
+
     outcome = "crash"
     for i in range(attempts):
-        try:
-            r = subprocess.run(
-                [PY, "-c",
-                 "import jax; d=jax.devices(); "
-                 "raise SystemExit(0 if d[0].platform=='tpu' else 3)"],
-                timeout=timeout_s, capture_output=True, cwd=HERE,
-            )
-            outcome = ("ok" if r.returncode == 0
-                       else "no-tpu-backend" if r.returncode == 3
-                       else "crash")
-        except subprocess.TimeoutExpired:
-            outcome = "timeout"
-        except Exception:
-            outcome = "crash"
+        outcome = _tpu_preflight(timeout_s)
         if outcome == "ok":
             return outcome
         if i + 1 < attempts:
@@ -209,7 +201,18 @@ def _run_step(name, argv, env_over, timeout_s, kind, retries=1):
             rec["record"] = jl[-1]
         elif kind == "json_lines" and jl:
             rec["records"] = jl
-        rec["ok"] = rc == 0 and (kind == "text" or bool(jl))
+        # a record that self-reports a non-TPU platform is a CPU
+        # fallback (bench.py / bw_probe.py stamp 'platform') — it must
+        # NOT count as captured on-chip evidence, or --resume would
+        # skip the step forever and the fallback number would publish
+        # as the round's chip number
+        on_chip = all(
+            r.get("platform", "tpu") == "tpu"
+            for r in (jl if kind in ("json", "json_lines") else [])
+        )
+        rec["ok"] = rc == 0 and (kind == "text" or bool(jl)) and on_chip
+        if rc == 0 and jl and not on_chip:
+            rec["not_ok_reason"] = "record self-reports non-TPU platform"
         if rec["ok"]:
             break
         print(f"  [{name}] attempt {attempt + 1} failed "
