@@ -110,6 +110,8 @@ def _step_fn(cfg, params):
 
 
 def main(argv):
+    import json
+
     from cloudsc2jax.state import Cloudsc2State
 
     assert jax.devices()[0].platform == "tpu", (
@@ -117,6 +119,7 @@ def main(argv):
     configs = argv or ["two:64", "chunk:64:2", "fused:64"]
     state = Cloudsc2State.synthetic(ngptot=100, nlev=137)
     rng = np.random.default_rng(time.time_ns())
+    results = {}
     for cfg in configs:
         try:
             step, S = _step_fn(cfg, state.params)
@@ -157,9 +160,17 @@ def main(argv):
             dt = (time.perf_counter() - t0) / REPS
             print(f"{cfg}: {dt * 1e3:.2f} ms  "
                   f"{NGPTOT / dt / 1e6:.2f} M cols/s", flush=True)
+            results[cfg] = {"ms": round(dt * 1e3, 2),
+                            "mcols_per_s": round(NGPTOT / dt / 1e6, 2)}
         except Exception as e:  # keep sweeping past VMEM/compile failures
             print(f"{cfg}: FAILED {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
+            results[cfg] = {"failed": f"{type(e).__name__}: {str(e)[:200]}"}
+    # one machine-readable summary line (same-invocation numbers are the
+    # only comparable ones — ±10% tunnel variance across runs); consumed
+    # by tools/onchip_evidence.py
+    print(json.dumps({"platform": "tpu", "ngptot": NGPTOT, "reps": REPS,
+                      "configs": results}), flush=True)
 
 
 if __name__ == "__main__":

@@ -111,7 +111,7 @@ def _steps():
         # -- scheduling / encoding A/B (VERDICT r3 item 1b, 3) ----------
         "kernel_ab": (
             [PY, "tools/kernel_ab.py"] + ab_cfgs,
-            {}, 2400, "text"),
+            {}, 2400, "json"),
         # -- streaming ceilings (VERDICT r3 item 1c + weak 3) -----------
         "probe_stream": (  # plain XLA 3-stream, the known-bandwidth ref
             [PY, "tools/bw_probe.py"],
@@ -247,6 +247,16 @@ def _derive(results):
     np_ = results.get("bench_tlad_noprim", {}).get("record")
     if bt.get("value") and np_ and np_.get("value"):
         d["noprim_speedup_vs_tlad"] = round(np_["value"] / bt["value"], 3)
+    # same-invocation A/B ratios (the only comparable ones, ±10% tunnel
+    # variance across invocations): the two:64 baseline vs each diet
+    ab = results.get("kernel_ab", {}).get("record", {}).get("configs", {})
+    base = ab.get("two:64", {}).get("ms")
+    if base:
+        for cfg in ("noprim:64", "enc:64", "encnp:64"):
+            ms = ab.get(cfg, {}).get("ms")
+            if ms:
+                d[f"ab_{cfg.split(':')[0]}_speedup_vs_two"] = round(
+                    base / ms, 3)
     return d
 
 
