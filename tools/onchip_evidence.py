@@ -111,7 +111,7 @@ def _steps():
         # -- scheduling / encoding A/B (VERDICT r3 item 1b, 3) ----------
         "kernel_ab": (
             [PY, "tools/kernel_ab.py"] + ab_cfgs,
-            {}, 2400, "json"),
+            {}, 3600, "json"),
         # -- streaming ceilings (VERDICT r3 item 1c + weak 3) -----------
         "probe_stream": (  # plain XLA 3-stream, the known-bandwidth ref
             [PY, "tools/bw_probe.py"],
@@ -137,7 +137,7 @@ def _steps():
         "tpu_tests": (
             [PY, "-m", "pytest", "tests/test_tpu_kernel_variants.py",
              "tests/test_tpu_f64_drift.py", "-q", "--no-header"],
-            {"CLOUDSC2_TPU_TESTS": "1"}, 3000, "text"),
+            {"CLOUDSC2_TPU_TESTS": "1"}, 5400, "text"),
         # -- CLI end-to-end revalidation on chip (VERDICT r3 item 7) ----
         "cli_tlad": (
             [PY, "-m", "cloudsc2jax", "tlad", "1", "163840", "128",
