@@ -89,14 +89,9 @@ def main():
 
     # persistent compile cache shared with the CLI/tests (first-process
     # compiles through the remote AOT helper can take minutes otherwise)
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from cloudsc2jax.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from cloudsc2jax.state import Cloudsc2State
 
@@ -257,6 +252,20 @@ def main():
         # mistaken for a TPU regression (vs_baseline is chip-denominated)
         "platform": platform,
     }
+    # exact HBM traffic of the TIMED executable (ROOFLINE.md's roofline
+    # inputs ride with every record): cost_analysis of the same jitted
+    # scalar_step that was benched.  Done after timing — worst case it
+    # recompiles, which cannot perturb the measurement.
+    try:
+        ca = scalar_step.lower(inputs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        nbytes = float(ca["bytes accessed"])
+        record["ms_per_call"] = round(dt * 1e3, 3)
+        record["bytes_accessed_gb"] = round(nbytes / 1e9, 3)
+        record["attained_gbps"] = round(nbytes / dt / 1e9, 1)
+    except Exception as e:
+        print(f"bench.py: cost_analysis unavailable ({e!r})", file=sys.stderr)
     if fell_back:
         record["note"] = (f"CPU fallback ({fallback_cause} at bench time)"
                           " — not the headline chip number; see the last"

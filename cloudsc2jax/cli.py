@@ -105,16 +105,12 @@ def main(argv=None):
         )
 
     # persistent compilation cache: first compile of the f64 scan is slow
-    # (minutes on CPU); subsequent CLI invocations are instant
-    cache_dir = os.environ.get(
-        "CLOUDSC2_CACHE_DIR",
-        str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # (minutes on CPU); subsequent CLI invocations are instant.  The dir is
+    # host-fingerprinted (cache.py) — a cache from a different host's CPU
+    # feature set would otherwise abort every XLA:CPU execution.
+    from .cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from . import dist
     from .state import Cloudsc2State

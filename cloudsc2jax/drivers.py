@@ -183,6 +183,7 @@ def run_tlad(
     mesh=None,
     interpret: bool = False,
     write_primal: bool = True,
+    vmem_limit_bytes: Optional[int] = None,
 ):
     """One fused NL+TL+AD sweep (the production 4D-Var work unit).
 
@@ -205,6 +206,11 @@ def run_tlad(
     contract (δy and x̄ only, cloudsc_driver_ad_mod.F90:160-256); the
     returned ``outputs`` is then None.
     """
+    if vmem_limit_bytes is None and sublanes > 64:
+        # S>64 blocks exceed Mosaic's ~16 MB scoped-VMEM default for the
+        # TL/AD kernels; raise to the budget the kernel A/Bs run at
+        # (v5e carries 128 MB physical VMEM — DESIGN.md §8)
+        vmem_limit_bytes = 100 * 1024 * 1024
     if not write_primal and backend != "pallas_blocked":
         # never silently hand back full primal outputs under a flag that
         # promises they were shed — callers comparing the noprim
@@ -214,11 +220,12 @@ def run_tlad(
             f"(got {backend!r})"
         )
     key = (id(params), lregcl, ldrain1d, remat, nproma, backend, sublanes,
-           id(mesh), interpret, write_primal)
+           id(mesh), interpret, write_primal, vmem_limit_bytes)
     hit = _TLAD_CACHE.get(key)
     if hit is None or hit[0] is not params:
         step = _tlad_step(params, lregcl, ldrain1d, remat, nproma,
-                          backend, sublanes, interpret, write_primal)
+                          backend, sublanes, interpret, write_primal,
+                          vmem_limit_bytes)
         if mesh is not None and backend.startswith("pallas"):
             from . import dist
 
@@ -240,7 +247,7 @@ _TLAD_CACHE = _LRUCache()
 
 
 def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes,
-               interpret=False, write_primal=True):
+               interpret=False, write_primal=True, vmem_limit_bytes=None):
     from functools import partial as _partial
 
     if backend in ("pallas", "pallas_blocked"):
@@ -264,11 +271,13 @@ def _tlad_step(params, lregcl, ldrain1d, remat, nproma, backend, sublanes,
                     sublanes=sublanes, blocked=True, save_checkpoints=True,
                     dscale=DSCALE, interpret=interpret,
                     write_primal=write_primal,
+                    vmem_limit_bytes=vmem_limit_bytes,
                 )
                 _, adj = cloudsc2_pallas_ad(
                     i, dout, params, lregcl=lregcl,
                     ldrain1d=ldrain1d, sublanes=sublanes, blocked=True,
                     checkpoints=ckpts, fold_seeds=True, interpret=interpret,
+                    vmem_limit_bytes=vmem_limit_bytes,
                 )
                 return out, dout, adj
             di = jax.tree.map(lambda x: DSCALE * x, i)

@@ -27,9 +27,9 @@ try:
 except AttributeError:  # older jax: XLA_FLAGS above covers it
     pass
 jax.config.update("jax_enable_x64", True)
-_cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
-jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from cloudsc2jax.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

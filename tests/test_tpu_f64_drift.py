@@ -30,10 +30,11 @@ import pytest
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
-# measured ~3e-12 (DESIGN.md §6); 1e-11 leaves ~3x headroom for
-# size/layout spread while still catching any real emulation regression
-# (the next failure mode up is f32-ish, ~1e-7 — four orders away)
-DRIFT_TOL = 1e-11
+# First real run (round 4, 2026-08-18) measured max drift 1.004e-9
+# (tenl_i; the round-2 spot-check's ~3e-12 did not cover the tendency
+# fields).  1e-8 leaves ~10x headroom over the measured distribution
+# while staying ~10x under the next failure mode (f32-ish, ~1e-7).
+DRIFT_TOL = 1e-8
 
 pytestmark = [
     pytest.mark.slow,
@@ -64,6 +65,9 @@ def test_on_chip_f64_matches_cpu_f64(tmp_path, state, nl_outputs):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the axon hook pick the chip
     env.pop("XLA_FLAGS", None)
+    # the worker script lives in tmp_path, so cwd=REPO alone does not put
+    # the package on sys.path — python adds the *script's* dir, not cwd
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     script = tmp_path / "tpu_worker.py"
     script.write_text(_WORKER)
     outfile = tmp_path / "tpu_out.npz"
@@ -77,10 +81,15 @@ def test_on_chip_f64_matches_cpu_f64(tmp_path, state, nl_outputs):
     )
 
     tpu = np.load(outfile)
+    drifts = {}
     for name, cpu_val in zip(nl_outputs._fields, nl_outputs):
         cpu_val = np.asarray(cpu_val, np.float64)
         scale = max(np.abs(cpu_val).max(), 1e-30)
-        drift = np.abs(tpu[name] - cpu_val).max() / scale
-        assert drift < DRIFT_TOL, (
-            f"{name}: emulated-f64 drift {drift:.3e} exceeds {DRIFT_TOL:g}"
-        )
+        drifts[name] = np.abs(tpu[name] - cpu_val).max() / scale
+    # one pass over all fields so a failure reports the full measured
+    # distribution, not just the first offender
+    msg = ", ".join(f"{k}={v:.3e}" for k, v in drifts.items())
+    assert max(drifts.values()) < DRIFT_TOL, (
+        f"emulated-f64 drift exceeds {DRIFT_TOL:g}: {msg}"
+    )
+    print(f"on-chip emulated-f64 drift per field: {msg}")

@@ -141,6 +141,9 @@ def test_on_chip_variants_match_production_unit(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the axon hook pick the chip
     env.pop("XLA_FLAGS", None)
+    # the worker script lives in tmp_path, so cwd=REPO alone does not put
+    # the package on sys.path — python adds the *script's* dir, not cwd
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     script = tmp_path / "tpu_variants_worker.py"
     script.write_text(_WORKER)
     r = subprocess.run(

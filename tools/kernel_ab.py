@@ -40,12 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from cloudsc2jax.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 NGPTOT = int(os.environ.get("CLOUDSC2_AB_NGPTOT", 163840))
 REPS = int(os.environ.get("CLOUDSC2_AB_REPS", 8))

@@ -64,8 +64,9 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from cloudsc2jax.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from cloudsc2jax.drivers import run_nl
     from cloudsc2jax.state import Cloudsc2State
