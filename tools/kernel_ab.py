@@ -118,6 +118,11 @@ def main(argv):
     rng = np.random.default_rng(time.time_ns())
     results = {}
     for cfg in configs:
+        key = cfg
+        n = 2
+        while key in results:  # repeated configs are drift controls
+            key = f"{cfg}#{n}"
+            n += 1
         try:
             step, S = _step_fn(cfg, state.params)
             inputs = state.device_kernel_inputs(
@@ -157,12 +162,18 @@ def main(argv):
             dt = (time.perf_counter() - t0) / REPS
             print(f"{cfg}: {dt * 1e3:.2f} ms  "
                   f"{NGPTOT / dt / 1e6:.2f} M cols/s", flush=True)
-            results[cfg] = {"ms": round(dt * 1e3, 2),
+            results[key] = {"ms": round(dt * 1e3, 2),
                             "mcols_per_s": round(NGPTOT / dt / 1e6, 2)}
         except Exception as e:  # keep sweeping past VMEM/compile failures
             print(f"{cfg}: FAILED {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
-            results[cfg] = {"failed": f"{type(e).__name__}: {str(e)[:200]}"}
+            results[key] = {"failed": f"{type(e).__name__}: {str(e)[:200]}"}
+        finally:
+            # free this config's device buffers before the next one: at
+            # headline NGPTOT each config's REPS input variants are
+            # multi-GB, and letting them accumulate OOMs HBM by the
+            # third config (seen at 327680: RESOURCE_EXHAUSTED)
+            inputs = variants = None
     # one machine-readable summary line (same-invocation numbers are the
     # only comparable ones — ±10% tunnel variance across runs); consumed
     # by tools/onchip_evidence.py
