@@ -134,10 +134,18 @@ def main():
             )
         else:
             backend = "xla"
-        # CLOUDSC2_BENCH_WRITE_PRIMAL=0: the reference AD-driver contract
-        # (δy and x̄ only) — sheds the 8 primal output streams; only the
-        # blocked pallas kernels can honor it (run_tlad rejects the rest)
-        wp = os.environ.get("CLOUDSC2_BENCH_WRITE_PRIMAL", "1") == "1"
+        # The recorded tlad headline follows the reference AD driver's
+        # actual contract: only δy and x̄ enter the test — the NL outputs
+        # are never materialised (cloudsc_driver_ad_mod.F90:160-256) — so
+        # write_primal defaults to False, shedding the TL sweep's 8
+        # primal output streams (measured +2.8%: 8.76M vs 8.51M cols/s,
+        # ONCHIP_r04_roofline.jsonl; bit-identical δy/x̄ per the on-chip
+        # variant gate).  CLOUDSC2_BENCH_WRITE_PRIMAL=1 restores the
+        # primal-emitting unit (the 4D-Var trajectory+gradient shape).
+        # Only the blocked pallas kernels can shed the streams
+        # (run_tlad rejects the rest).
+        wp_default = "1" if (not use_pallas or platform != "tpu") else "0"
+        wp = os.environ.get("CLOUDSC2_BENCH_WRITE_PRIMAL", wp_default) == "1"
         if not wp and backend != "pallas_blocked":
             print("bench.py: CLOUDSC2_BENCH_WRITE_PRIMAL=0 needs the "
                   f"blocked pallas backend (got {backend}) — ignoring",

@@ -48,6 +48,10 @@ pytestmark = [
 # O(1), many orders above.  The encoded unit quantises the level
 # streams to int16 (interpret budget 5e-3,
 # test_pallas_tlad.py::test_encoded_tlad_unit_matches_exact).
+# PROVEN ON CHIP (round 4, ONCHIP_r04.json tpu_tests): all four
+# variants passed these budgets compiled on real Mosaic at nlev=137,
+# including noprim's (0.0, 0.0) exactness — dropping the 8 primal
+# output streams is bit-identical under real flush semantics.
 TOLS = {
     "chunk2": (1e-6, 1e-4),
     "noprim": (0.0, 0.0),  # same kernel, fewer output streams: exact
