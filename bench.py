@@ -134,14 +134,20 @@ def main():
             )
         else:
             backend = "xla"
-        # The recorded tlad headline follows the reference AD driver's
-        # actual contract: only δy and x̄ enter the test — the NL outputs
-        # are never materialised (cloudsc_driver_ad_mod.F90:160-256) — so
-        # write_primal defaults to False, shedding the TL sweep's 8
-        # primal output streams (measured +2.8%: 8.76M vs 8.51M cols/s,
-        # ONCHIP_r04_roofline.jsonl; bit-identical δy/x̄ per the on-chip
-        # variant gate).  CLOUDSC2_BENCH_WRITE_PRIMAL=1 restores the
-        # primal-emitting unit (the 4D-Var trajectory+gradient shape).
+        # The recorded tlad headline sheds the 8 primal output streams
+        # (write_primal=False): only δy and x̄ enter the AD driver's
+        # verification norms (cloudsc_driver_ad_mod.F90:160-256).  NOTE
+        # the contract asymmetry (ADVICE r4): the reference TL kernel
+        # declares the trajectory outputs INTENT(OUT) and its driver
+        # passes real arrays that receive them (cloudsc2tl.F90:162-176)
+        # — the reference unit PAYS those writes; they are merely unused
+        # downstream.  The noprim unit is therefore a contract
+        # *re-design* (shed provably-unconsumed stores), not a
+        # like-for-like diet; CLOUDSC2_BENCH_WRITE_PRIMAL=1 restores the
+        # reference-comparable primal-emitting unit (the 4D-Var
+        # trajectory+gradient shape) and both are recorded per round
+        # (ONCHIP_r*: bench_tlad vs bench_tlad_noprim; measured +2.8%
+        # in r4, bit-identical δy/x̄ per the on-chip variant gate).
         # Only the blocked pallas kernels can shed the streams
         # (run_tlad rejects the rest).
         wp_default = "1" if (not use_pallas or platform != "tpu") else "0"

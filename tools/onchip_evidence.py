@@ -96,7 +96,13 @@ def _steps():
             1500, "json"),
         "bench_tlad": (
             [PY, "bench.py"],
+            # write_primal pinned EXPLICITLY: bench.py's on-TPU default
+            # flipped to the noprim contract in round 4 — without the pin
+            # this step and bench_tlad_noprim would measure the same
+            # workload twice and noprim_speedup_vs_tlad would degenerate
+            # to ~1.0 (ADVICE r4)
             {"CLOUDSC2_BENCH_VARIANT": "tlad",
+             "CLOUDSC2_BENCH_WRITE_PRIMAL": "1",
              "CLOUDSC2_BENCH_PREFLIGHT_TIMEOUT": "120"},
             1800, "json"),
         # the reference AD-driver contract (δy/x̄ only): candidate tlad

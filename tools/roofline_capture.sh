@@ -7,23 +7,44 @@
 # labelled JSON line to $OUT — incremental, outage-proof.
 set -u
 cd "$(dirname "$0")/.."
-OUT=${1:-ONCHIP_r04_roofline.jsonl}
+OUT=${1:-ONCHIP_r05_roofline.jsonl}
 
 step() {
   local name="$1"; shift
+  # generous per-step budget: bench.py's own preflight allows 420s and a
+  # cold-cache first compile through the AOT tunnel takes minutes
+  # (onchip_evidence.py budgets 1500-1800s; ADVICE r4) — override per
+  # call with STEP_TIMEOUT
+  local tmo="${STEP_TIMEOUT:-1800}"
   echo "== $name ==" >&2
   local line
-  line=$(timeout 600 "$@" 2>>"$OUT.stderr" | tail -1)
-  if [ -n "$line" ]; then
+  line=$(timeout "$tmo" "$@" 2>>"$OUT.stderr" | tail -1)
+  # validate before appending: a trailing non-JSON stdout line (warning,
+  # fallback note) must not corrupt the JSONL, and a CPU-fallback record
+  # (platform != tpu) is not roofline evidence (ADVICE r4)
+  local verdict
+  verdict=$(printf '%s' "$line" | python -c '
+import json, sys
+try:
+    r = json.loads(sys.stdin.read())
+except ValueError:
+    print("notjson"); raise SystemExit
+print("ok" if r.get("platform", "tpu") == "tpu" else "nontpu")')
+  if [ "$verdict" = "ok" ]; then
     printf '{"step": "%s", "record": %s}\n' "$name" "$line" >> "$OUT"
   else
-    printf '{"step": "%s", "record": null}\n' "$name" >> "$OUT"
+    echo "== $name: record invalid ($verdict) — recording null ==" >&2
+    printf '{"step": "%s", "record": null, "why": "%s"}\n' \
+      "$name" "$verdict" >> "$OUT"
   fi
 }
 
-# headline benches, now with exact cost_analysis traffic stamps
+# headline benches, now with exact cost_analysis traffic stamps.
+# write_primal pinned explicitly on the primal-emitting row: bench.py's
+# on-TPU default flipped to noprim in round 4 (ADVICE r4)
 CLOUDSC2_BENCH_VARIANT=nl step bench_nl python bench.py
-CLOUDSC2_BENCH_VARIANT=tlad step bench_tlad python bench.py
+CLOUDSC2_BENCH_VARIANT=tlad CLOUDSC2_BENCH_WRITE_PRIMAL=1 \
+  step bench_tlad python bench.py
 CLOUDSC2_BENCH_VARIANT=tlad CLOUDSC2_BENCH_WRITE_PRIMAL=0 \
   step bench_tlad_noprim python bench.py
 
