@@ -210,14 +210,17 @@ def main():
         if "blocked" in impl:
             # pallas_call is an opaque custom call: consuming any slice
             # forces the whole execution without adding a full-array
-            # reduction pass to the measurement.  The adjoint's paph/plu
-            # streams are XLA-assembled (shift-scatter) after the reverse
-            # kernel — sum those fully so the assembly cannot be DCE'd.
+            # reduction pass to the measurement.  The reverse kernel
+            # scatters d(plu)/d(paph) in place (tlad_kernel
+            # inplace_scatter); the only XLA op left on the adjoint
+            # contract is the one-row surface add — consume THAT row so
+            # it cannot be rewritten away (a [:2] slice of the
+            # dynamic-update-slice would let XLA skip the update).
             extra = jnp.float32(0.0)
             if variant == "tlad":
                 adj = out[2]
-                extra = (jnp.sum(adj.paph.astype(jnp.float32))
-                         + jnp.sum(adj.plu.astype(jnp.float32)))
+                extra = (jnp.sum(adj.paph[-1].astype(jnp.float32))
+                         + jnp.sum(jnp.ravel(adj.plu)[:2]))
             return extra + sum(
                 jnp.sum(jnp.ravel(o)[:2]) for o in jax.tree.leaves(out)
             )

@@ -50,8 +50,9 @@ def _build_parser():
                    help="after the SPMD run, re-time each device's shard "
                         "share on its own device so the perf table prints "
                         "measured per-device clocks instead of lane-0 "
-                        "mirrors (chip-skew diagnostic; nl/tlad, "
-                        "single-process)")
+                        "mirrors (chip-skew diagnostic; nl/tlad; in "
+                        "multi-process runs each rank measures its local "
+                        "devices and the gathered table labels the rows)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the run into DIR "
                         "(the DR_HOOK/EC_PMON observability analogue)")
@@ -433,12 +434,17 @@ def _close_spmd_timing(timer, args, jax, mesh, ngptot, ngpblks,
     # run only; the diagnostic replaces just the per-lane clocks
     timer.end()
     if measure is not None:
-        if nproc == 1 and nlanes > 1:
+        if nlanes > 1 or nproc > 1:
+            # each process re-times its OWN local devices' shard shares;
+            # the measured rows ride through the gathered table's
+            # collective (timer._gather_records), so multi-process runs
+            # print genuine per-lane clocks too — ≙ the reference's
+            # per-thread rows (timer_mod.F90:114-174)
             timer.measure_device_lanes(*measure,
                                        calls_equivalent=args.repeat)
         elif jax.process_index() == 0:
-            print("--per-device-timing needs a single-process multi-device "
-                  "run — ignored", file=sys.stderr)
+            print("--per-device-timing needs a multi-device or "
+                  "multi-process run — ignored", file=sys.stderr)
     timer.print_performance(args.nproma, ngpblks, ngptot, gather=True)
 
 

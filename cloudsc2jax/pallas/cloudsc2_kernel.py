@@ -635,6 +635,36 @@ class _Layout:
         lev_s, plu_s, hi_s, _, _ = self.specs(rev)
         return [lev_s] * N_LEVEL_FIELDS + [plu_s, lev_s, hi_s]
 
+    # Specs for the in-place shift-scatter reverse sweep
+    # (tlad_kernel._rev_kernel inplace_scatter): the grid gains one FLUSH
+    # step (k == nlev), so every input map must stay valid there — the
+    # plain level map is clamped at 0 (revisiting step nlev-1's block:
+    # Mosaic elides the DMA and untouched output buffers keep their
+    # values); the plu(k+1)/paph(k+1) reversed maps already land on valid
+    # blocks at k == nlev.
+    def flush_field_specs(self):
+        """(17 input specs, the clamped plain spec for ckpt/seed/plain-
+        adjoint streams, the d_plu out spec, the d_paph out spec)."""
+        n = self.nlev
+        _, plu, hi = _level_index_maps(n, rev=True)
+        lev = lambda b, k: (jnp.maximum(n - 1 - k, 0), b, 0, 0)
+        blk = (1, 1, self.sublanes, 128)
+        mk = lambda im: pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+        lev_s = mk(lev)
+        in_specs = [lev_s] * N_LEVEL_FIELDS + [mk(plu), lev_s, mk(hi)]
+        # output maps write slot kr+1 = nlev-k at compute steps and slot
+        # 0 at the flush step; d_plu has nlev rows so its first write
+        # (k=0, the exactly-zero last-level cotangent) clamps onto slot
+        # nlev-1 and is overwritten by the next (consecutive) step
+        dplu_s = mk(lambda b, k: (jnp.minimum(n - k, n - 1), b, 0, 0))
+        dpaph_s = mk(lambda b, k: (n - k, b, 0, 0))
+        return in_specs, lev_s, dplu_s, dpaph_s
+
+    def paph_shape(self):
+        return jax.ShapeDtypeStruct(
+            (self.nlev + 1, self.nb, self.sublanes, 128), self.dtype
+        )
+
     # C-level chunk variant (the per-step window-issue-latency
     # experiment, DESIGN.md §8): each grid step moves a (C,1,S,128)
     # block of every stream and loops the level body C times

@@ -453,11 +453,30 @@ def _fwd_ckpt_kernel(*refs, params: Params, ldrain1d: bool,
 
 def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
                 nlev: int, seed_scales=None, chunk: int = 1,
-                encoded: bool = False):
+                encoded: bool = False, inplace_scatter: bool = False):
     """Reverse sweep (≙ cloudsc2ad.F90:934-1668, DO JK=KLEV,1,-1): the
     grid's level axis runs backwards via the reversed index maps; the
     level trajectory is recomputed from raw fields + carry checkpoint and
     transposed in-register with jax.vjp; adjoint carry in VMEM scratch.
+
+    ``inplace_scatter`` (chunk==1 only, the production schedule):
+    accumulate the shifted-view adjoints onto their SOURCE buffers inside
+    the kernel — exactly as the reference adjoint accumulates
+    ZPAPHTC/ZPLUTC in place (cloudsc2ad.F90:1721-1740) — instead of
+    emitting 17 per-step streams for XLA to concatenate+add (the 2.53 GB
+    / 14.7%-of-unit-bytes glue measured in ROOFLINE.md §3).  Outputs
+    become 14 plain adjoint streams + ``d_plu`` (nlev) + ``d_paph``
+    (nlev+1), written via shifted output index maps: the step at
+    physical level kr writes ``d_paph[kr+1] = hi(kr) + lo(kr+1)`` with
+    ``lo(kr+1)`` carried one step in VMEM scratch, and ``d_plu[kr+1] =
+    d_plu_k1(kr)``; one extra FLUSH grid step (k == nlev) writes row 0
+    (``d_paph[0] = lo(0)``, ``d_plu[0] = 0``).  Every other index map is
+    clamped at the flush step so it revisits the previous step's block —
+    Mosaic elides those DMAs and the untouched output buffers flush with
+    the previous step's values, so the extra step costs ~2 windows.
+    The surface row still leaves as the small col-shaped ``dpaphsfc``
+    (its Σ over levels completes only at the LAST step, after slot nlev
+    was already written) — one single-row XLA add remains downstream.
 
     ``chunk`` > 1: C levels per grid step, processed DESCENDING
     in-register; the adjoint output convention (17 shifted-view streams,
@@ -472,9 +491,18 @@ def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
     ckpt_refs, rest = rest[:3], rest[3:]
     seed_refs, rest = rest[:N_OUTPUTS], rest[N_OUTPUTS:]
     ztrpaus_ref, paphsfc_ref = rest[:2]
-    dout_refs = rest[2 : 2 + _NF]
-    dpaphsfc_ref = rest[2 + _NF]
-    drfl_s, dsfl_s, dcov_s = rest[3 + _NF :]
+    if inplace_scatter:
+        assert chunk == 1
+        dout_refs = rest[2 : 2 + N_LEVEL_FIELDS]
+        dplu_ref, dpaph_ref, dpaphsfc_ref = rest[
+            2 + N_LEVEL_FIELDS : 5 + N_LEVEL_FIELDS
+        ]
+        drfl_s, dsfl_s, dcov_s, dlo_s = rest[5 + N_LEVEL_FIELDS :]
+    else:
+        dout_refs = rest[2 : 2 + _NF]
+        dpaphsfc_ref = rest[2 + _NF]
+        drfl_s, dsfl_s, dcov_s = rest[3 + _NF :]
+        dlo_s = None
 
     k = pl.program_id(1)
     nch = -(-nlev // chunk)
@@ -484,6 +512,54 @@ def _rev_kernel(*refs, params: Params, ldrain1d: bool, lregcl: bool,
         for s in (drfl_s, dsfl_s, dcov_s):
             s[...] = jnp.zeros_like(s)
         dpaphsfc_ref[0] = jnp.zeros_like(dpaphsfc_ref[0])
+        if dlo_s is not None:
+            dlo_s[...] = jnp.zeros_like(dlo_s)
+
+    if inplace_scatter:
+        @pl.when(k < nlev)
+        def _scatter_step():
+            kr = nlev - 1 - k  # physical level of this step
+            scalars = (ceta_ref[kr, 0], zscalm_ref[kr, 0],
+                       notlast_ref[kr, 0] > 0)
+            fields = (_decode_fields(lev_refs, enclev_ref) if encoded
+                      else tuple(r[0, 0] for r in lev_refs))
+            carry_in = tuple(r[0, 0] for r in ckpt_refs)
+
+            def f(fl, co, ca, _s=scalars):
+                return _level_physics(params, ldrain1d, _s, fl, co, ca,
+                                      lregcl=lregcl)
+
+            _, vjp_fn = jax.vjp(
+                f, fields, (ztrpaus_ref[0], paphsfc_ref[0]), carry_in
+            )
+            seeds = tuple(r[0, 0] for r in seed_refs)
+            if seed_scales is not None:
+                srfl, ssfl = seed_scales
+                seeds = seeds[:6] + (seeds[6] * srfl, seeds[7] * ssfl)
+            dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
+            dfields, dcols, dcarry_in = vjp_fn((seeds, dcarry))
+
+            for r, v in zip(dout_refs, dfields[:N_LEVEL_FIELDS]):
+                r[0, 0] = v
+            # slot kr+1 via the shifted output maps: d_plu[kr+1] =
+            # d(plu read at kr); d_paph[kr+1] = hi(kr) + carried lo(kr+1)
+            # (at kr = nlev-1 the clamped d_plu write lands on slot
+            # nlev-1 and is overwritten by the next step — its value is
+            # the exactly-zero cotangent of the not_last-masked read)
+            dplu_ref[0, 0] = dfields[N_LEVEL_FIELDS]
+            dpaph_ref[0, 0] = dfields[N_LEVEL_FIELDS + 2] + dlo_s[...]
+            dlo_s[...] = dfields[N_LEVEL_FIELDS + 1]
+            dpaphsfc_ref[0] = dpaphsfc_ref[0] + dcols[1]
+            # d_ztrpaus (dcols[0]) is exactly zero (stop-gradient max)
+            drfl_s[...], dsfl_s[...], dcov_s[...] = dcarry_in
+
+        @pl.when(k == nlev)
+        def _flush():
+            # row 0: plu level 0 is never read as k+1; paph row 0 is the
+            # lo(0) adjoint carried from the last compute step
+            dplu_ref[0, 0] = jnp.zeros_like(dplu_ref[0, 0])
+            dpaph_ref[0, 0] = dlo_s[...]
+        return
 
     cols = (ztrpaus_ref[0], paphsfc_ref[0])
     dcarry = (drfl_s[...], dsfl_s[...], dcov_s[...])
@@ -547,10 +623,20 @@ def cloudsc2_pallas_ad(
     checkpoints=None,
     fold_seeds: bool = False,
     chunk_levels: int = 1,
+    inplace_scatter: bool | None = None,
     vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ) -> Tuple[Cloudsc2Outputs, Cloudsc2Inputs]:
     """Fused-kernel adjoint CLOUDSC2: returns (outputs, input_adjoints).
+
+    ``inplace_scatter`` (default: on for ``chunk_levels == 1``): the
+    reverse kernel accumulates the plu(k+1)/paph(k)/paph(k+1) shifted-
+    view adjoints onto their source buffers in place (≙ the reference
+    adjoint's in-place ZPAPHTC/ZPLUTC accumulation,
+    cloudsc2ad.F90:1721-1740) — see :func:`_rev_kernel`.  Off: the
+    round-2..4 convention (17 shifted-view streams assembled by XLA
+    concatenate+add passes — the measured 14.7%-of-unit-bytes glue,
+    ROOFLINE.md §3), kept for A/B (tools/kernel_ab.py ``xscat:<S>``).
 
     ``fold_seeds=True`` (blocked only) applies the
     :func:`fold_flux_seeds` (1+L²) flux scaling in-register on seed load
@@ -573,6 +659,13 @@ def cloudsc2_pallas_ad(
         raise ValueError("external checkpoints require blocked=True")
     if fold_seeds and not blocked:
         raise ValueError("fold_seeds requires blocked=True")
+    if inplace_scatter is None:
+        inplace_scatter = chunk_levels == 1
+    if inplace_scatter and chunk_levels != 1:
+        raise ValueError("inplace_scatter requires chunk_levels == 1 "
+                         "(C-level chunk blocks cannot be written at a "
+                         "one-level offset — block index maps are "
+                         "block-aligned)")
     if not (bool(params.yrephli.lphylin) or ldrain1d):
         # see cloudsc2_pallas_tl — refuse rather than silently diverge
         raise NotImplementedError(
@@ -623,51 +716,90 @@ def cloudsc2_pallas_ad(
         seeds = tuple(jnp.asarray(s, lay.dtype) for s in d_outputs)
     else:
         seeds = _seed_streams(lay, params, d_outputs, levels_major)
-    rev = pl.pallas_call(
-        functools.partial(
-            _rev_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
-            nlev=lay.nlev, chunk=chunk_levels,
-            seed_scales=(
-                (1.0 + float(params.yomcst.rlvtt) ** 2,
-                 1.0 + float(params.yomcst.rlstt) ** 2)
-                if fold_seeds else None
+    rev_kernel = functools.partial(
+        _rev_kernel, params=params, ldrain1d=ldrain1d, lregcl=lregcl,
+        nlev=lay.nlev, chunk=chunk_levels, inplace_scatter=inplace_scatter,
+        seed_scales=(
+            (1.0 + float(params.yomcst.rlvtt) ** 2,
+             1.0 + float(params.yomcst.rlstt) ** 2)
+            if fold_seeds else None
+        ),
+    )
+    if inplace_scatter:
+        # shifted-output schedule + one flush step (see _rev_kernel):
+        # 14 plain adjoint streams + d_plu + d_paph leave assembled
+        lev_rev_f, plain_f, dplu_s, dpaph_s = lay.flush_field_specs()
+        rev = pl.pallas_call(
+            rev_kernel,
+            grid=(lay.nb, lay.nlev + 1),
+            in_specs=[smem_s] * 3 + lev_rev_f + [plain_f] * 3
+            + [plain_f] * N_OUTPUTS + [col_s] * 2,
+            out_specs=[plain_f] * N_LEVEL_FIELDS
+            + [dplu_s, dpaph_s, col_s],
+            out_shape=[lay.out_shape()] * (N_LEVEL_FIELDS + 1)
+            + [lay.paph_shape(), lay.col_shape()],
+            scratch_shapes=lay.scratch(4),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 292 * lay.nlev * lay.nb * lay.bc,
+                bytes_accessed=(2 * _NF + N_OUTPUTS + 3)
+                * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
+                transcendentals=2 * 10 * lay.nlev * lay.nb * lay.bc,
             ),
-        ),
-        grid=(lay.nb, nsteps),
-        in_specs=[smem_s] * 3 + lev_rev + [rev_spec] * 3
-        + [rev_spec] * N_OUTPUTS + [col_s] * 2,
-        out_specs=[rev_spec] * _NF + [col_s],
-        out_shape=[lay.out_shape()] * _NF + [lay.col_shape()],
-        scratch_shapes=lay.scratch(3),
-        cost_estimate=pl.CostEstimate(
-            flops=3 * 292 * lay.nlev * lay.nb * lay.bc,
-            bytes_accessed=(2 * _NF + N_OUTPUTS + 4)
-            * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
-            transcendentals=2 * 10 * lay.nlev * lay.nb * lay.bc,
-        ),
-        interpret=interpret,
-        **_vmem_kw(vmem_limit_bytes),
-    )(*lay.scalar_args(), *operands, *ckpts, *seeds,
-      lay.ztrpaus_b, lay.paphsfc_b)
-
-    dlev = [lay.from_blocks(x) for x in rev[:_NF]]
-    d_plu_k1, d_paph_lo, d_paph_hi = dlev[N_LEVEL_FIELDS:]
-    if blocked:
-        dpaphsfc = rev[_NF]  # (nb, S, 128)
-        zrow = jnp.zeros((1,) + d_plu_k1.shape[1:], lay.dtype)
+            interpret=interpret,
+            **_vmem_kw(vmem_limit_bytes),
+        )(*lay.scalar_args(), *operands, *ckpts, *seeds,
+          lay.ztrpaus_b, lay.paphsfc_b)
+        dlev = [lay.from_blocks(x) for x in rev[: N_LEVEL_FIELDS + 2]]
+        d = dict(zip(_LEVEL_FIELDS, dlev[:N_LEVEL_FIELDS]))
+        d["plu"] = dlev[N_LEVEL_FIELDS]
+        if blocked:
+            dpaphsfc = rev[N_LEVEL_FIELDS + 2]  # (nb, S, 128)
+        else:
+            dpaphsfc = rev[N_LEVEL_FIELDS + 2].reshape(
+                lay.nb * lay.bc)[: lay.ncol]
+        # the only XLA pass left on the adjoint contract: the surface-row
+        # add (Σ over levels of the pap/paph_sfc read completes only at
+        # the last reverse step, after slot nlev was already written)
+        d["paph"] = dlev[N_LEVEL_FIELDS + 1].at[lay.nlev].add(dpaphsfc)
     else:
-        dpaphsfc = rev[_NF].reshape(lay.nb * lay.bc)[: lay.ncol]
-        zrow = jnp.zeros((1, lay.ncol), lay.dtype)
-    d = dict(zip(_LEVEL_FIELDS, dlev[:N_LEVEL_FIELDS]))
-    # scatter the shifted-view adjoints back onto their source buffers:
-    # plu(k+1) reads mean d_plu[k] = d_plu_k1[k-1] (level 0 is never read
-    # as k+1; the clamped last-level read has zero cotangent since llo1 is
-    # masked by not_last); paph is read as lo(k), hi(k+1) and sfc(nlev).
-    d["plu"] = jnp.concatenate([zrow, d_plu_k1[:-1]], axis=0)
-    d["paph"] = (
-        jnp.concatenate([d_paph_lo, zrow], axis=0)
-        + jnp.concatenate([zrow, d_paph_hi], axis=0)
-    ).at[lay.nlev].add(dpaphsfc)
+        rev = pl.pallas_call(
+            rev_kernel,
+            grid=(lay.nb, nsteps),
+            in_specs=[smem_s] * 3 + lev_rev + [rev_spec] * 3
+            + [rev_spec] * N_OUTPUTS + [col_s] * 2,
+            out_specs=[rev_spec] * _NF + [col_s],
+            out_shape=[lay.out_shape()] * _NF + [lay.col_shape()],
+            scratch_shapes=lay.scratch(3),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 292 * lay.nlev * lay.nb * lay.bc,
+                bytes_accessed=(2 * _NF + N_OUTPUTS + 4)
+                * lay.nlev * lay.nb * lay.bc * lay.dtype.itemsize,
+                transcendentals=2 * 10 * lay.nlev * lay.nb * lay.bc,
+            ),
+            interpret=interpret,
+            **_vmem_kw(vmem_limit_bytes),
+        )(*lay.scalar_args(), *operands, *ckpts, *seeds,
+          lay.ztrpaus_b, lay.paphsfc_b)
+
+        dlev = [lay.from_blocks(x) for x in rev[:_NF]]
+        d_plu_k1, d_paph_lo, d_paph_hi = dlev[N_LEVEL_FIELDS:]
+        if blocked:
+            dpaphsfc = rev[_NF]  # (nb, S, 128)
+            zrow = jnp.zeros((1,) + d_plu_k1.shape[1:], lay.dtype)
+        else:
+            dpaphsfc = rev[_NF].reshape(lay.nb * lay.bc)[: lay.ncol]
+            zrow = jnp.zeros((1, lay.ncol), lay.dtype)
+        d = dict(zip(_LEVEL_FIELDS, dlev[:N_LEVEL_FIELDS]))
+        # scatter the shifted-view adjoints back onto their source
+        # buffers: plu(k+1) reads mean d_plu[k] = d_plu_k1[k-1] (level 0
+        # is never read as k+1; the clamped last-level read has zero
+        # cotangent since llo1 is masked by not_last); paph is read as
+        # lo(k), hi(k+1) and sfc(nlev).
+        d["plu"] = jnp.concatenate([zrow, d_plu_k1[:-1]], axis=0)
+        d["paph"] = (
+            jnp.concatenate([d_paph_lo, zrow], axis=0)
+            + jnp.concatenate([zrow, d_paph_hi], axis=0)
+        ).at[lay.nlev].add(dpaphsfc)
 
     d_in = Cloudsc2Inputs(
         paph=d["paph"], pap=d["pap"], pq=d["pq"], pqs=d["pqs"], pt=d["pt"],

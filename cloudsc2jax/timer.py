@@ -168,7 +168,12 @@ class PerformanceTimer:
 
         ``inputs`` must be sharded arrays whose per-device shards are
         valid single-device inputs for ``step_fn`` (the column/block
-        shardings used by the CLI are).  Single-process only.
+        shardings used by the CLI are).  In a multi-process run each
+        process measures its own LOCAL devices (``addressable_shards``
+        yields only those) and the measured flag rides through the
+        ``_gather_records`` collective, so the gathered perf table
+        prints genuine per-lane clocks on every rank — matching the
+        reference's per-thread semantics (timer_mod.F90:114-174).
 
         ``calls_equivalent`` is the number of executions the lane's
         logged column count represents (the CLI's ``--repeat``): the
@@ -266,8 +271,8 @@ class PerformanceTimer:
 
         Every process must call this (it is a collective).  Records are
         float64 rows [lane_id, core_id, columns, calls, t_ms, mflops,
-        mirrored]; the trailing summary row is
-        [-1, rank, total_columns, total_calls, elapsed_ms, mflops, 0].
+        mirrored, measured]; the trailing summary row is
+        [-1, rank, total_columns, total_calls, elapsed_ms, mflops, 0, 0].
         Lane counts are padded to the max across processes so the
         allgather shapes agree."""
         import jax
@@ -278,21 +283,22 @@ class PerformanceTimer:
         nlmax = int(
             multihost_utils.process_allgather(np.array(len(lanes))).max()
         )
-        buf = np.zeros((nlmax + 1, 7))
+        buf = np.zeros((nlmax + 1, 8))
         for i, lane in enumerate(lanes):
             t = max(lane.t_total, 1e-12)
             buf[i] = [
                 lane.lane_id, lane.core_id, lane.columns, lane.calls,
                 1e3 * t, 1.0e-6 * zhpm * (lane.columns / 100.0) / t,
-                float(lane.mirrored),
+                float(lane.mirrored), float(lane.measured_lane),
             ]
         elapsed = max(self.elapsed, 1e-12)
         cols = sum(l.columns for l in lanes)
         buf[nlmax] = [
             -1, jax.process_index(), cols, sum(l.calls for l in lanes),
             1e3 * elapsed, 1.0e-6 * zhpm * (cols / 100.0) / elapsed, 0.0,
+            0.0,
         ]
-        return multihost_utils.process_allgather(buf)  # (nproc, nlmax+1, 7)
+        return multihost_utils.process_allgather(buf)  # (nproc, nlmax+1, 8)
 
     def _print_gathered(self, nproma, ngpblks, ngptot, zhpm, file):
         """Rank-0 printing of the gathered records: per-rank lane rows,
@@ -318,7 +324,8 @@ class PerformanceTimer:
                 if row[3] == 0 and row[2] == 0:
                     continue  # padding lane
                 t = max(row[4] * 1e-3, 1e-12)
-                tag = "  (mirror)" if row[6] else ""
+                tag = ("  (measured)" if row[7]
+                       else "  (mirror)" if row[6] else "")
                 print(
                     f"{f'{r}:{int(row[0])}':>12} {ngptot:>10} {int(row[2]):>10}"
                     f" {int(row[3]):>8} {nproma:>8} {row[4]:>12.1f}"

@@ -272,11 +272,15 @@ def test_cli_four_process_nl_perf_gather(tmp_path):
     TOTAL row per rank plus the grand total (≙ the 5-int MPI_GATHER +
     per-rank/grand-total prints, timer_mod.F90:155-171) — the
     driver-recorded multichip gate at the same process count the suite
-    exercises."""
+    exercises.  Runs with --per-device-timing: every rank re-times its
+    local device's shard share and the measured flag rides through the
+    gathered records, so rank 0's table must label one ``(measured)``
+    lane row PER RANK (VERDICT r4 item 6 — the reference's rows are
+    genuine per-thread clocks, timer_mod.F90:114-174)."""
     tiny = _tiny_input(tmp_path)
     outs = _spawn_cli_pair(
         ["nl", "4", "104", "26", "--dtype", "f32",
-         "--input", str(tiny), "--no-validate"],
+         "--input", str(tiny), "--no-validate", "--per-device-timing"],
         nproc=4, ndev_per_proc=1,
     )
     for pid, (rc, _, err_s) in enumerate(outs):
@@ -287,6 +291,9 @@ def test_cli_four_process_nl_perf_gather(tmp_path):
         assert f"TOTAL @ rank#{r}" in err0, f"missing rank {r} row"
     lastrow = [l for l in err0.splitlines() if l.rstrip().endswith("TOTAL")]
     assert lastrow and lastrow[0].lstrip().startswith("4proc")
+    # one measured lane row per rank, none left as lane-0 mirrors
+    assert err0.count("(measured)") == 4, err0
+    assert "(mirror)" not in err0, err0
     for pid in (1, 2, 3):
         assert "TOTAL @" not in outs[pid][2]  # rank-0-only table
 

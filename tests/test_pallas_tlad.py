@@ -481,6 +481,63 @@ def test_dscale_matches_explicit_increments(state):
                            interpret=True)
 
 
+def test_inplace_scatter_matches_xla_assembly(state):
+    """The in-kernel shift-scatter reverse schedule (inplace_scatter,
+    the production default: d_plu/d_paph accumulated onto their source
+    buffers inside the kernel via shifted output maps + a flush step,
+    ≙ cloudsc2ad.F90:1721-1740's in-place accumulation) must be
+    BIT-identical to the round-2..4 convention (17 shifted-view streams
+    + XLA concatenate/add assembly) — same per-level vjp math, only the
+    store schedule differs.  Covers blocked and standard layouts, the
+    checkpoint-reuse reverse-only path, and the in-kernel seed fold."""
+    from cloudsc2jax.state import Cloudsc2State
+
+    st = Cloudsc2State.synthetic(ngptot=100, nlev=23)
+    params = st.params
+    blk = st.device_kernel_inputs(256, dtype=np.float32, blocked_sublanes=1)
+    _, dout, ck = cloudsc2_pallas_tl(
+        blk, None, params, lregcl=True, blocked=True, save_checkpoints=True,
+        dscale=0.01, interpret=True,
+    )
+    for kwargs in (
+        dict(checkpoints=ck, fold_seeds=True),   # the production unit
+        dict(),                                   # internal forward sweep
+    ):
+        _, adj_x = cloudsc2_pallas_ad(
+            blk, dout, params, lregcl=True, blocked=True, interpret=True,
+            inplace_scatter=False, **kwargs,
+        )
+        _, adj_k = cloudsc2_pallas_ad(
+            blk, dout, params, lregcl=True, blocked=True, interpret=True,
+            inplace_scatter=True, **kwargs,
+        )
+        for name, a, b in zip(adj_x._fields, adj_k, adj_x):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+    # standard (ncol, nlev) layout path too
+    std = st.device_kernel_inputs(256, dtype=np.float32)
+    d_std = jax.tree.map(lambda x: 0.01 * x, std)
+    _, dout_s = cloudsc2_pallas_tl(
+        std, d_std, params, lregcl=True, sublanes=1, interpret=True
+    )
+    _, adj_xs = cloudsc2_pallas_ad(
+        std, dout_s, params, lregcl=True, sublanes=1, interpret=True,
+        inplace_scatter=False,
+    )
+    _, adj_ks = cloudsc2_pallas_ad(
+        std, dout_s, params, lregcl=True, sublanes=1, interpret=True,
+        inplace_scatter=True,
+    )
+    for name, a, b in zip(adj_xs._fields, adj_ks, adj_xs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+    with pytest.raises(ValueError, match="inplace_scatter"):
+        cloudsc2_pallas_ad(blk, dout, params, blocked=True, chunk_levels=2,
+                           inplace_scatter=True, interpret=True)
+
+
 def test_run_tlad_rejects_unhonorable_write_primal(state):
     """run_tlad must refuse write_primal=False on backends that cannot
     shed the primal streams (only the blocked Pallas kernels can) —

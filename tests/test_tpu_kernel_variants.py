@@ -57,6 +57,15 @@ TOLS = {
     "noprim": (0.0, 0.0),  # same kernel, fewer output streams: exact
     "fused": (1e-5, 1e-3),
     "enc": (5e-3, 5e-3),
+    # in-kernel shift-scatter (the r5 production default) vs the XLA
+    # concatenate/add assembly: identical vjp math, identical TL sweep
+    # (tangent compared at 0.0 by construction); the adjoint add
+    # hi(kr)+lo(kr+1) is f32-commutative so interpret mode is
+    # bit-identical — the budget covers only Mosaic-side FMA-contraction
+    # differences between the two separately-compiled reverse bodies.
+    # This row is the REAL-Mosaic gate on the flush-step block-revisit
+    # semantics the scatter schedule relies on.
+    "xscat": (0.0, 1e-5),
 }
 
 _WORKER = """
@@ -98,7 +107,7 @@ def tree_relerr(got, want):
     return jnp.max(jnp.stack(errs))
 
 
-def unit(**tl_kw):
+def unit(ad_kw=None, **tl_kw):
     out, dout, ck = cloudsc2_pallas_tl(
         blk, None, params, lregcl=True, blocked=True, sublanes=S,
         save_checkpoints=True, dscale=DSCALE, **tl_kw,
@@ -106,13 +115,20 @@ def unit(**tl_kw):
     _, adj = cloudsc2_pallas_ad(
         blk, dout, params, lregcl=True, blocked=True, sublanes=S,
         checkpoints=ck, fold_seeds=True,
-        chunk_levels=tl_kw.get("chunk_levels", 1),
+        chunk_levels=tl_kw.get("chunk_levels", 1), **(ad_kw or {}),
     )
     return dout, adj
 
 
 dout_x, adj_x = unit()
 jax.block_until_ready(adj_x.pt)
+
+# the round-2..4 adjoint output convention vs the in-kernel scatter
+# default (same TL sweep -> tangent compared at exactly 0.0): the gate
+# on the flush-step revisit semantics under real Mosaic
+dout_s, adj_s = unit(ad_kw=dict(inplace_scatter=False))
+print(f"VARIANT xscat tan {float(tree_relerr(dout_s, dout_x)):.3e} "
+      f"adj {float(tree_relerr(adj_s, adj_x)):.3e}", flush=True)
 
 for name, kw in (("chunk2", dict(chunk_levels=2)),
                  ("noprim", dict(write_primal=False))):

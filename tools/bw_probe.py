@@ -19,6 +19,18 @@ pays the same window-issue cost at the same traffic, not against the
 streams the level grid in reverse order (the adjoint sweep's DMA
 order).  ``CLOUDSC2_BW_PROBE_NB`` sets blocks (traffic matching).
 
+Compute-weighted mode (``CLOUDSC2_BW_PROBE_COMPUTE=T,F``, window mode
+only; VERDICT r4 item 3): adds a calibrated VPU body — T transcendental
+ops (tanh) + F fused multiply-adds per ELEMENT per grid step — so the
+ceiling pays the physics kernels' arithmetic density, not just their
+DMA shape.  Calibration against SURVEY §3.5's ZHPM accounting (~292
+flops + ~10 exp/tanh per level-column): the NL body ≈ ``10,292``, the
+TL sweep (primal+tangent) ≈ ``20,584``, the reverse adjoint (checkpoint
+recompute + transpose) ≈ ``30,876``.  The chain is serially dependent
+(each op consumes the previous result) so Mosaic cannot reassociate it
+away, and its result is mixed into every output at 1e-20 scale (forced,
+numerically invisible to the self-check).
+
 Prints one JSON line; feed ``attained_gbps`` to tools/roofline.py as
 --hbm-gbps for the fraction-of-practical-roofline number.
 """
@@ -50,6 +62,8 @@ def window_probe():
     repeats = int(os.environ.get("CLOUDSC2_BW_PROBE_REPEATS", 20))
     interpret = os.environ.get("CLOUDSC2_BW_PROBE_INTERPRET", "0") == "1" \
         or jax.devices()[0].platform != "tpu"
+    compute = os.environ.get("CLOUDSC2_BW_PROBE_COMPUTE", "0,0")
+    n_trans, n_flops = (int(x) for x in compute.split(","))
 
     blk = (1, 1, S, 128)
     # arrays are (nlev, nb, S, 128) like the physics kernels' level
@@ -64,8 +78,20 @@ def window_probe():
     def kernel(s_ref, *refs):
         ins, outs = refs[:R], refs[R:]
         s = s_ref[0]
+        work = jnp.zeros_like(ins[0][...])
+        if n_trans or n_flops:
+            # serially-dependent VPU chain: T tanh + F/2 FMAs per
+            # element (one FMA = 2 flops), seeded from real data and
+            # re-salted from a different input every few ops so no
+            # subsequence is loop-invariant
+            work = ins[0][...]
+            for t in range(n_trans):
+                work = jnp.tanh(work + ins[t % R][...] * 1e-3)
+            for f in range(max(n_flops - 2 * n_trans, 0) // 2):
+                work = work * 1.0000001 + ins[f % R][...] * 1e-6
+            work = work * 1e-20  # forced, numerically invisible
         for j in range(W):
-            outs[j][...] = ins[j % R][...] * s + ins[(j + 1) % R][...]
+            outs[j][...] = ins[j % R][...] * s + ins[(j + 1) % R][...] + work
 
     shape = (nlev, nb, S, 128)
     call = pl.pallas_call(
@@ -116,6 +142,8 @@ def window_probe():
         "platform": jax.devices()[0].platform,
         "mode": "windows",
         "windows": f"{R}x{W}",
+        "compute_per_element": {"transcendentals": n_trans,
+                                "flops": n_flops},
         "rev": rev,
         "nb": nb,
         "sublanes": S,

@@ -18,9 +18,17 @@ Config syntax (one timing line each, chained-accumulator methodology):
                      item 2: byte diet on the byte-heavy TL/AD mixes);
                      inputs pre-encoded outside the timed step.
 - ``noprim:<S>``   — work unit without the 8 primal output streams
-                     (the reference AD driver never materialises the NL
-                     outputs, cloudsc_driver_ad_mod.F90:160-256).
+                     (unused by the reference AD driver's verification
+                     norms, cloudsc_driver_ad_mod.F90:160-256).
 - ``encnp:<S>``    — both diets combined (encoded + no primal).
+- ``xscat:<S>``    — the round-2..4 adjoint output convention
+                     (17 shifted-view streams + XLA concatenate/add
+                     assembly of d_plu/d_paph) instead of the in-kernel
+                     shift-scatter accumulation that is now the default
+                     (tlad_kernel inplace_scatter; ROOFLINE.md §3's
+                     2.53 GB glue lever).  A/B against ``two:<S>``.
+- ``xscatnp:<S>``  — same, without the primal streams (A/B against
+                     ``noprim:<S>`` — the headline contract).
 
 Measured results are environment-sensitive (±10% tunnel variance) —
 compare configs from the SAME invocation only.  Round-2 reference
@@ -83,22 +91,36 @@ def _step_fn(cfg, params):
         out, dout, ckpts = cloudsc2_pallas_tl(
             i, None, params, lregcl=True, sublanes=S, blocked=True,
             save_checkpoints=True, dscale=0.01, chunk_levels=C,
-            vmem_limit_bytes=vl, write_primal=(kind != "noprim"),
+            vmem_limit_bytes=vl,
+            write_primal=(kind not in ("noprim", "xscatnp")),
         )
         _, adj = cloudsc2_pallas_ad(
             i, dout, params, lregcl=True, sublanes=S, blocked=True,
             checkpoints=ckpts, fold_seeds=True, chunk_levels=C,
+            inplace_scatter=(False if kind.startswith("xscat") else None),
             vmem_limit_bytes=vl,
         )
         return out, dout, adj
 
+    # the work unit's contract must be FORCED, with nothing beyond it:
+    # schedules whose d_plu/d_paph leave as XLA concatenate/add passes
+    # (xscat*, chunked, the experiments) need full sums of those two
+    # arrays (a slice probe would let XLA rewrite slice(concat) and DCE
+    # the assembly); the in-kernel scatter schedules only have the
+    # one-row surface add left — consuming that row forces it, and a
+    # full-array sum would bill them ~0.4 GB of pure probe overhead
+    xla_assembled = kind in ("xscat", "xscatnp", "fused", "enc",
+                             "encnp") or C > 1
+
     def scalar_step(v):
         out = work(v)
         adj = out[2]
-        # force the XLA shift-scatter assembly fully; slice-probe the
-        # opaque pallas outputs (bench.py methodology)
-        extra = (jnp.sum(adj.paph.astype(jnp.float32))
-                 + jnp.sum(adj.plu.astype(jnp.float32)))
+        if xla_assembled:
+            extra = (jnp.sum(adj.paph.astype(jnp.float32))
+                     + jnp.sum(adj.plu.astype(jnp.float32)))
+        else:
+            extra = (jnp.sum(adj.paph[-1].astype(jnp.float32))
+                     + jnp.sum(jnp.ravel(adj.plu)[:2]))
         return extra + sum(
             jnp.sum(jnp.ravel(o)[:2]) for o in jax.tree.leaves(out)
         )

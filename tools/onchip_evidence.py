@@ -86,7 +86,13 @@ def _preflight(timeout_s=90, attempts=3, backoff=60):
 # new Mosaic program; the persistent .jax_cache makes re-runs fast).
 
 def _steps():
-    ab_cfgs = ["two:64", "two:128", "noprim:64", "enc:64", "encnp:64"]
+    # round-5 A/B focus: the in-kernel shift-scatter reverse schedule
+    # (now the default) vs the round-2..4 XLA-assembly convention
+    # (xscat*), on both the noprim headline contract and the
+    # primal-emitting unit; noprim:128 re-checks the sublane choice
+    # under the new write mix
+    ab_cfgs = ["noprim:64", "xscatnp:64", "two:64", "xscat:64",
+               "noprim:128"]
     return {
         # -- headline bench records (the round's chip numbers) ----------
         "bench_nl": (
@@ -139,6 +145,22 @@ def _steps():
             {"CLOUDSC2_BW_PROBE_WINDOWS": "28x18",
              "CLOUDSC2_BW_PROBE_NB": "20",
              "CLOUDSC2_BW_PROBE_REV": "1"}, 900, "json"),
+        # compute-weighted ceilings (VERDICT r4 item 3): same DMA mixes
+        # with the physics kernels' arithmetic density — TL ≈ 2x the NL
+        # body (primal+tangent), reverse adjoint ≈ 3x (recompute +
+        # transpose) — so the TLAD %-of-ceiling verdict is measured
+        # against a probe that pays the recompute density too
+        "probe_tl_compute": (
+            [PY, "tools/bw_probe.py"],
+            {"CLOUDSC2_BW_PROBE_WINDOWS": "17x19",
+             "CLOUDSC2_BW_PROBE_NB": "20",
+             "CLOUDSC2_BW_PROBE_COMPUTE": "20,584"}, 900, "json"),
+        "probe_rev_compute": (
+            [PY, "tools/bw_probe.py"],
+            {"CLOUDSC2_BW_PROBE_WINDOWS": "28x18",
+             "CLOUDSC2_BW_PROBE_NB": "20",
+             "CLOUDSC2_BW_PROBE_REV": "1",
+             "CLOUDSC2_BW_PROBE_COMPUTE": "30,876"}, 900, "json"),
         # -- gated on-chip test files (VERDICT r3 item 1d, 6) -----------
         "tpu_tests": (
             [PY, "-m", "pytest", "tests/test_tpu_kernel_variants.py",
@@ -240,7 +262,8 @@ def _derive(results):
         ratio = xv["attained_gbps"] / max(xs["attained_gbps"], 1e-9)
         d["probe_xval_ratio_vs_stream"] = round(ratio, 3)
         d["probe_xval_ok"] = bool(ratio <= 1.20)
-    for k in ("probe_tl", "probe_rev"):
+    for k in ("probe_tl", "probe_rev", "probe_tl_compute",
+              "probe_rev_compute"):
         rec = results.get(k, {}).get("record")
         if rec:
             d[f"{k}_attained_gbps"] = rec["attained_gbps"]
@@ -254,15 +277,15 @@ def _derive(results):
     if bt.get("value") and np_ and np_.get("value"):
         d["noprim_speedup_vs_tlad"] = round(np_["value"] / bt["value"], 3)
     # same-invocation A/B ratios (the only comparable ones, ±10% tunnel
-    # variance across invocations): the two:64 baseline vs each diet
+    # variance across invocations): in-kernel shift-scatter (default)
+    # vs the XLA-assembly convention, per contract
     ab = results.get("kernel_ab", {}).get("record", {}).get("configs", {})
-    base = ab.get("two:64", {}).get("ms")
-    if base:
-        for cfg in ("noprim:64", "enc:64", "encnp:64"):
-            ms = ab.get(cfg, {}).get("ms")
-            if ms:
-                d[f"ab_{cfg.split(':')[0]}_speedup_vs_two"] = round(
-                    base / ms, 3)
+    for new, old, label in (("noprim:64", "xscatnp:64", "noprim"),
+                            ("two:64", "xscat:64", "two")):
+        ms_new = ab.get(new, {}).get("ms")
+        ms_old = ab.get(old, {}).get("ms")
+        if ms_new and ms_old:
+            d[f"ab_scatter_speedup_{label}"] = round(ms_old / ms_new, 3)
     return d
 
 
