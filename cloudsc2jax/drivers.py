@@ -13,6 +13,7 @@ reproduce the reference's per-block reductions exactly.
 from __future__ import annotations
 
 import dataclasses
+import math
 import sys
 from functools import partial
 from typing import Optional, Tuple
@@ -512,6 +513,9 @@ def run_chunked(
     lregcl: bool = True,
     interpret: bool = False,
     mesh=None,
+    fused_gen: bool = False,
+    probe: str = "checksum",
+    write_primal: bool = True,
 ):
     """Stream batches larger than HBM through the blocked kernels.
 
@@ -538,27 +542,67 @@ def run_chunked(
     the checksum is psum-reduced across the mesh.  Chunks are rounded to
     whole per-device block multiples, so the same global column range
     gives the same checksum for any (chunk, mesh) decomposition.
+
+    ``fused_gen=True`` hoists the generation pass out of the chunk loop
+    — the REPLICATION-SPECIFIC fast path (VERDICT r4 item 2): cyclic
+    expansion of ``klon`` stored columns repeats with period
+    ``lcm(klon, block_cols)``, so when the chunk is rounded UP to that
+    period every chunk's input blocks are value-identical and ONE
+    generation pass feeds the whole run — the kernels stream resident
+    inputs exactly like the single-call headline (and like the
+    reference, whose timed NPROMA loop reads host arrays expanded once
+    at load, cloudsc_driver_mod.F90:73-119 after expand_mod.F90).  The
+    general ``fused_gen=False`` path regenerates per chunk at the true
+    global offset and stays valid for any (chunk, offset) pattern.
+    With ``probe="checksum"`` the two paths return bit-identical
+    checksums for the same executed columns (the generated blocks are
+    value-identical — tested in tests/test_chunked.py).
+
+    ``probe="slice"`` replaces the full per-leaf checksum reduction
+    (which re-reads every output stream from HBM — pure measurement
+    overhead, ~35% of the old chunk bytes) with the headline bench's
+    thin anti-DCE slice probe (bench.py methodology: pallas_call is
+    opaque, consuming any slice forces the whole execution; the
+    adjoint's one remaining XLA op — the inplace_scatter surface-row
+    add — is forced by consuming that row).  Checksum mode remains the
+    decomposition-invariance validation surface.
+
+    ``write_primal=False`` (tlad only) drops the 8 primal output
+    streams — the noprim headline contract.
     """
     if sublanes is None:
         sublanes = 128 if variant == "nl" else 64
     bc = sublanes * 128
     ndev = 1 if mesh is None else int(mesh.devices.size)
     gc = bc * ndev
-    chunk = (chunk // gc) * gc or gc
+    if fused_gen:
+        # round UP to the cyclic-expansion period so every chunk's
+        # input blocks are value-identical (see docstring)
+        al = math.lcm(gc, state.klon_file)
+        chunk = -(-chunk // al) * al
+    else:
+        chunk = (chunk // gc) * gc or gc
     nb = chunk // bc
     key = (id(state), variant, sublanes, nb, np.dtype(dtype).str, lregcl,
-           interpret, id(mesh))
+           interpret, id(mesh), fused_gen, probe, write_primal)
     hit = _CHUNK_CACHE.get(key)
     if hit is None or hit[0] is not state:
         hit = (state, *_chunk_step(state, variant, sublanes, nb, dtype,
-                                   lregcl, interpret, mesh))
+                                   lregcl, interpret, mesh,
+                                   fused_gen=fused_gen, probe=probe,
+                                   write_primal=write_primal))
         _CHUNK_CACHE[key] = hit
-    _, base, step = hit
+    _, base, step, gen = hit
 
     nchunks = -(-ngptot // chunk)
     acc = jnp.zeros((), jnp.float32)
-    for i in range(nchunks):
-        acc = step(base, np.int32(i * chunk), acc)
+    if fused_gen:
+        blk = gen(base)  # one generation pass for the whole run
+        for _ in range(nchunks):
+            acc = step(blk, acc)
+    else:
+        for i in range(nchunks):
+            acc = step(base, np.int32(i * chunk), acc)
     return nchunks * chunk, float(acc)
 
 
@@ -566,7 +610,8 @@ _CHUNK_CACHE = _LRUCache()
 
 
 def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False,
-                mesh=None):
+                mesh=None, fused_gen=False, probe="checksum",
+                write_primal=True):
     from .pallas.cloudsc2_kernel import cloudsc2_pallas
     from .state import blockify_columns
 
@@ -578,7 +623,8 @@ def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False,
     )
     if variant != "nl":
         tlad_step = _tlad_step(params, lregcl, False, True, None,
-                               "pallas_blocked", sublanes, interpret)
+                               "pallas_blocked", sublanes, interpret,
+                               write_primal=write_primal)
 
     def kernel(blk):
         if variant == "nl":
@@ -590,21 +636,48 @@ def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False,
         # partition-invariant checksum: full per-leaf sums over all
         # columns of the chunk (f32 accumulation), so the same global
         # column range gives the same value for any chunk size — and
-        # every output stream is forced, including the adjoint paph/plu
-        # shift-scatter assembly that a sliced probe would let XLA DCE.
+        # every output stream is forced, including any XLA assembly a
+        # sliced probe would let the compiler DCE.
         return sum(
             jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
         )
 
+    def sliceprobe(out):
+        # bench.py anti-DCE methodology: pallas_call is opaque, a thin
+        # slice of each output forces the whole execution; consume the
+        # adjoint's surface row to force the inplace_scatter add (the
+        # one XLA op left on the adjoint contract)
+        extra = jnp.float32(0.0)
+        if variant != "nl":
+            adj = out[2]
+            extra = (jnp.sum(adj.paph[-1].astype(jnp.float32))
+                     + jnp.sum(jnp.ravel(adj.plu)[:2]))
+        return extra + sum(
+            jnp.sum(jnp.ravel(o)[:2].astype(jnp.float32))
+            for o in jax.tree.leaves(out)
+        )
+
+    force = checksum if probe == "checksum" else sliceprobe
+
     if mesh is None:
         base = jax.device_put(base_host)
 
+        if fused_gen:
+            gen = jax.jit(lambda b: blockify_columns(
+                b, nb, sublanes, klon, jnp.int32(0)))
+
+            @jax.jit
+            def step(blk, s):
+                return s + force(kernel(blk))
+
+            return base, step, gen
+
         @jax.jit
         def step(b, off, s):
-            return s + checksum(kernel(blockify_columns(b, nb, sublanes,
-                                                        klon, off)))
+            return s + force(kernel(blockify_columns(b, nb, sublanes,
+                                                     klon, off)))
 
-        return base, step
+        return base, step, None
 
     # Mesh pipeline: the stored columns are replicated (they ARE the
     # whole input, ≙ expand_mod's all-ranks-read-the-100-columns case);
@@ -617,14 +690,39 @@ def _chunk_step(state, variant, sublanes, nb, dtype, lregcl, interpret=False,
     nb_local = nb // ndev
     base = jax.device_put(base_host, NamedSharding(mesh, P()))
 
+    if fused_gen:
+        # each device generates its local blocks ONCE at its fixed
+        # global block offset (chunks are period-aligned, so the
+        # pattern repeats across chunks — see run_chunked docstring);
+        # the generated streams stay sharded along the block axis
+        def local_gen(b):
+            r = jax.lax.axis_index(dist.COLS_AXIS)
+            return blockify_columns(b, nb_local, sublanes, klon,
+                                    r * (nb_local * sublanes * 128))
+
+        gen = jax.jit(jax.shard_map(
+            local_gen, mesh=mesh, in_specs=P(),
+            out_specs=P(None, dist.COLS_AXIS), check_vma=False,
+        ))
+
+        def local_fused(blk, s):
+            return s + jax.lax.psum(force(kernel(blk)), dist.COLS_AXIS)
+
+        step = jax.jit(jax.shard_map(
+            local_fused, mesh=mesh,
+            in_specs=(P(None, dist.COLS_AXIS), P()), out_specs=P(),
+            check_vma=False,
+        ))
+        return base, step, gen
+
     def local_step(b, off, s):
         r = jax.lax.axis_index(dist.COLS_AXIS)
         blk = blockify_columns(b, nb_local, sublanes, klon,
                                off + r * (nb_local * sublanes * 128))
-        return s + jax.lax.psum(checksum(kernel(blk)), dist.COLS_AXIS)
+        return s + jax.lax.psum(force(kernel(blk)), dist.COLS_AXIS)
 
     step = jax.jit(jax.shard_map(
         local_step, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
         check_vma=False,
     ))
-    return base, step
+    return base, step, None
